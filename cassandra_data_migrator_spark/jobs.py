@@ -1,0 +1,292 @@
+"""Job entry points — Migrate / DiffData / GuardrailCheck analogs.
+
+Reference lifecycle (``job/Migrate.scala:24-60``, ``job/BaseJob.scala:
+62-114``): plan token ranges, register the run, fan ranges out to
+executors, per-range copy loop, merge counters, finish. Here the loop is
+over ``batch_epoch`` micro-batches of the WAL; within an epoch all key
+partitions are applied as one atomic lake commit whose idempotence keys
+are the covered ``partition:batch_epoch`` slices. A killed run resumes
+by diffing the epoch plan against the manifest's applied keys — the
+rerun-pending-ranges logic of ``job/BasePartitionJob.scala:41-58``.
+
+Run with spark-submit:
+    spark-submit --py-files cdm_spark.zip -m cassandra_data_migrator_spark.jobs ingest ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .lineage import LineageStore
+from .metrics import JobCounter
+from .operators.diff import STATUS_COL, corrections, diff, diff_counters
+from .operators.guardrail import guardrail_check, guardrail_flags
+from .operators.lww import lww_dedup, lww_dedup_salted
+from .sources import changelog as wal
+from .sources.lake import LakeTable
+
+
+@dataclass
+class RunResult:
+    counters: JobCounter
+    epochs_applied: list[int] = field(default_factory=list)
+    epochs_skipped: list[int] = field(default_factory=list)
+    lake_version: int = 0
+
+
+# --------------------------------------------------------------------- filters
+def apply_origin_filters(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Client-side filters of the reference's scan
+    (``OriginSelectStatement.java:104-131``): user WHERE condition,
+    writetime-range filter, column-value skip filter — all expressed as
+    Catalyst predicates so they push into the parquet scan."""
+    if cfg.where_condition:
+        df = df.where(F.expr(cfg.where_condition))
+    if cfg.min_ts:
+        df = df.where(F.col(cfg.ts_col) >= F.lit(cfg.min_ts).cast("timestamp"))
+    if cfg.max_ts:
+        df = df.where(F.col(cfg.ts_col) <= F.lit(cfg.max_ts).cast("timestamp"))
+    if cfg.filter_column and cfg.filter_value is not None:
+        # case-insensitive trimmed equality => skip (OriginSelectStatement.java:141-151)
+        df = df.where(
+            F.lower(F.trim(F.col(cfg.filter_column))) != F.lit(cfg.filter_value.lower())
+        )
+    return df
+
+
+# --------------------------------------------------------------------- ingest
+def ingest(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    changelog_df: DataFrame | None = None,
+    mode: str = "mor",
+    compact_every: int = 8,
+    use_salted_dedup: bool = False,
+    fail_at_epoch: int | None = None,
+) -> RunResult:
+    """Replay the WAL epoch-by-epoch into the lake table (Migrate analog).
+
+    ``fail_at_epoch`` injects a crash *after* that many epochs committed,
+    for the kill-and-resume test.
+    """
+    events = changelog_df if changelog_df is not None else spark.read.parquet(cfg.changelog_path)
+    lake = _ensure_lake(spark, cfg, events)
+    lin = LineageStore(spark, cfg.lineage_path) if cfg.lineage_path else None
+    if lin and cfg.track_run:
+        lin.start_run(cfg.run_id, "MIGRATE", cfg.prev_run_id)
+
+    applied = lake.applied_keys()
+    # one planning scan for the whole run: epoch -> key partitions present
+    # (SplitPartitions analog: the driver-side partition plan,
+    # job/SplitPartitions.java:32-76)
+    plan_rows = (
+        events.select("batch_epoch", "partition").distinct().collect()
+    )
+    plan: dict[int, list[int]] = {}
+    for r in plan_rows:
+        plan.setdefault(r[0], []).append(r[1])
+    epochs = sorted(plan)
+    total = JobCounter()
+    result = RunResult(counters=total)
+    done = 0
+    for epoch in epochs:
+        batch = events.where(F.col("batch_epoch") == F.lit(epoch))
+        # resume guard: drop partitions of this epoch that already committed
+        parts = sorted(plan[epoch])
+        pending = [p for p in parts if f"{p}:{epoch}" not in applied]
+        if not pending:
+            result.epochs_skipped.append(epoch)
+            continue
+        if len(pending) < len(parts):
+            batch = batch.where(F.col("partition").isin(pending))
+        keys = [f"{p}:{epoch}" for p in pending]
+
+        obs_read = Observation()
+        batch = batch.observe(obs_read, F.count(F.lit(1)).alias("read"))
+        filtered = apply_origin_filters(batch, cfg)
+        if cfg.guardrail_col_size_kb:
+            # oversize rows are SKIPPED, not written (guardrail-as-filter)
+            filtered = guardrail_flags(filtered, cfg.guardrail_col_size_kb).where(
+                F.size("_large_cols") == 0
+            ).drop("_large_cols")
+        obs_write = Observation()
+        filtered = filtered.observe(obs_write, F.count(F.lit(1)).alias("passed"))
+
+        payload = filtered.drop("partition", "batch_epoch")
+        deduped = (
+            lww_dedup_salted(payload, cfg.key_col, cfg.ts_col, cfg.seq_col, cfg.salt_buckets)
+            if use_salted_dedup
+            else lww_dedup(payload, cfg.key_col, cfg.ts_col, cfg.seq_col)
+        )
+
+        try:
+            if mode == "cow":
+                res = lake.merge_cow(deduped, keys)
+            else:
+                res = lake.append_mor(deduped, keys)
+            read_n = obs_read.get["read"]
+            passed_n = obs_write.get["passed"]
+            jc = JobCounter()
+            jc.add("READ", read_n)
+            jc.add("WRITE", passed_n)
+            jc.add("SKIPPED", read_n - passed_n)
+            total.merge(jc)
+            result.epochs_applied.append(epoch)
+            if lin and cfg.track_run:
+                lin.record_batch(cfg.run_id, pending, epoch, "PASS", jc.as_dict(),
+                                 prev_run_id=cfg.prev_run_id)
+        except Exception:
+            if lin and cfg.track_run:
+                lin.record_batch(cfg.run_id, pending, epoch, "FAIL",
+                                 prev_run_id=cfg.prev_run_id)
+            raise
+        done += 1
+        if fail_at_epoch is not None and done >= fail_at_epoch:
+            raise RuntimeError(f"injected failure after {done} epochs")
+        if mode == "mor" and compact_every and done % compact_every == 0:
+            lake.compact()
+
+    if mode == "mor":
+        lake.compact()
+    if lin and cfg.track_run:
+        lin.end_run(cfg.run_id, "MIGRATE", total.as_dict())
+    result.lake_version = lake.manifest().version
+    total.print_final("Migrate")
+    return result
+
+
+def _ensure_lake(spark: SparkSession, cfg: EngineConfig, events: DataFrame) -> LakeTable:
+    base_schema = events.drop("partition", "batch_epoch").schema
+    return LakeTable.create(
+        spark,
+        cfg.lake_path,
+        base_schema,
+        key_col=cfg.key_col,
+        ts_col=cfg.ts_col,
+        seq_col=cfg.seq_col,
+        op_col=cfg.op_col,
+        num_buckets=cfg.num_buckets,
+    )
+
+
+# --------------------------------------------------------------------- expected fold
+def expected_state(
+    events: DataFrame, cfg: EngineConfig, include_tombstones: bool = False
+) -> DataFrame:
+    """Recompute the final table state from the full WAL in one
+    declarative fold: per url keep the (warc_ts, seq)-largest event,
+    drop it if that winner is a delete. This is the oracle the verify
+    phase compares the materialized lake table against."""
+    ev = apply_origin_filters(events, cfg)
+    if cfg.guardrail_col_size_kb:
+        ev = guardrail_flags(ev, cfg.guardrail_col_size_kb).where(
+            F.size("_large_cols") == 0
+        ).drop("_large_cols")
+    folded = lww_dedup(ev.drop("partition", "batch_epoch"), cfg.key_col, cfg.ts_col, cfg.seq_col)
+    if not include_tombstones:
+        folded = folded.where(F.col(cfg.op_col) != F.lit("D"))
+    return folded
+
+
+# --------------------------------------------------------------------- validate
+def validate(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    changelog_df: DataFrame | None = None,
+    autocorrect: bool | None = None,
+) -> tuple[DataFrame, JobCounter]:
+    """Replay-and-verify (DiffData analog): recompute expected state,
+    full-outer diff against the lake, count VALID/MISSING/MISMATCH, and
+    optionally auto-correct the lake (never deleting EXTRA rows)."""
+    events = changelog_df if changelog_df is not None else spark.read.parquet(cfg.changelog_path)
+    lake = LakeTable(spark, cfg.lake_path)
+    lin = LineageStore(spark, cfg.lineage_path) if cfg.lineage_path else None
+    if lin and cfg.track_run:
+        lin.start_run(cfg.run_id, "DIFF_DATA", cfg.prev_run_id)
+
+    expected = expected_state(events, cfg)
+    actual = lake.read()
+    compare_cols = [c for c in expected.columns if c != cfg.key_col and c in actual.columns]
+    d = diff(expected, actual, cfg.key_col, compare_cols, byte_cols=("text", "html"))
+    d = d.cache()
+    jc = diff_counters(d)
+
+    do_correct = autocorrect if autocorrect is not None else (
+        cfg.autocorrect_missing or cfg.autocorrect_mismatch
+    )
+    if do_correct and (jc.get("MISSING") or jc.get("MISMATCH")):
+        fix = corrections(d, cfg.key_col)
+        lake.merge_cow(fix, [f"autocorrect:{cfg.run_id}"])
+        jc.add("CORRECTED_MISSING", jc.get("MISSING"))
+        jc.add("CORRECTED_MISMATCH", jc.get("MISMATCH"))
+
+    if lin and cfg.track_run:
+        status = "PASS" if not (jc.get("MISSING") or jc.get("MISMATCH")) else (
+            "DIFF_CORRECTED" if do_correct else "DIFF"
+        )
+        lin.record_batch(cfg.run_id, -1, -1, status, jc.as_dict(), prev_run_id=cfg.prev_run_id)
+        lin.end_run(cfg.run_id, "DIFF_DATA", jc.as_dict())
+    jc.print_final("DiffData")
+    return d, jc
+
+
+# --------------------------------------------------------------------- guardrail
+def guardrail(
+    spark: SparkSession, cfg: EngineConfig, changelog_df: DataFrame | None = None
+) -> tuple[DataFrame, JobCounter]:
+    """Origin-only large-field screen (GuardrailCheck analog)."""
+    events = changelog_df if changelog_df is not None else spark.read.parquet(cfg.changelog_path)
+    offending, jc = guardrail_check(events, cfg.guardrail_col_size_kb or 1)
+    jc.print_final("GuardrailCheck")
+    return offending, jc
+
+
+# --------------------------------------------------------------------- CLI
+def main(argv: list[str] | None = None) -> int:
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(prog="cdm-spark")
+    p.add_argument("job", choices=["ingest", "validate", "guardrail", "generate"])
+    p.add_argument("--config", help="JSON config file", default=None)
+    p.add_argument("--lake", dest="lake_path")
+    p.add_argument("--changelog", dest="changelog_path")
+    p.add_argument("--lineage", dest="lineage_path", default="")
+    p.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    p.add_argument("--events", type=int, default=1_000_000)
+    p.add_argument("--epoch-size", type=int, default=100_000)
+    p.add_argument("--autocorrect", action="store_true")
+    args = p.parse_args(argv)
+
+    d = {}
+    if args.config:
+        with open(args.config) as f:
+            d = json.load(f)
+    for k in ("lake_path", "changelog_path", "lineage_path"):
+        v = getattr(args, k)
+        if v:
+            d[k] = v
+    d.setdefault("epoch_size", args.epoch_size)
+    cfg = EngineConfig.from_dict(d)
+    spark = get_spark("cdm-spark-" + args.job)
+
+    if args.job == "generate":
+        df = wal.changelog(spark, args.events, epoch_size=cfg.epoch_size,
+                           num_partitions=cfg.num_partitions)
+        wal.write_changelog(df, cfg.changelog_path)
+    elif args.job == "ingest":
+        ingest(spark, cfg, mode=args.mode)
+    elif args.job == "validate":
+        validate(spark, cfg, autocorrect=args.autocorrect)
+    elif args.job == "guardrail":
+        guardrail(spark, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

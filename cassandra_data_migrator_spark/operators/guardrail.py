@@ -1,0 +1,62 @@
+"""Guardrail — large-field screening.
+
+Reference: ``feature/Guardrail.java:88-125`` encodes every column of
+every row and flags columns whose serialized size exceeds
+``colSizeInKB`` (byte count at ``CqlTable.java:327-340``); the job
+(``job/GuardrailCheckJobSession.java:44-78``) scans origin-only and
+reports READ / VALID / LARGE counters.
+
+Spark-first: ``octet_length`` is evaluated JVM-side inside whole-stage
+codegen — no row-at-a-time encoding pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..metrics import JobCounter
+
+
+def _size_expr(field: T.StructField):
+    c = F.col(field.name)
+    if isinstance(field.dataType, (T.StringType, T.BinaryType)):
+        return F.coalesce(F.octet_length(c), F.lit(0))
+    # fixed-width + other types: approximate with their string encoding,
+    # mirroring the reference's codec-encode-then-measure approach
+    return F.coalesce(F.octet_length(c.cast("string")), F.lit(0))
+
+
+def guardrail_flags(df: DataFrame, col_size_kb: int, cols: list[str] | None = None) -> DataFrame:
+    """Adds ``_large_cols`` (array of offending column names, empty if
+    none) — one pass, all columns screened in parallel expressions."""
+    threshold = col_size_kb * 1000  # reference multiplies by 1000, not 1024 (Guardrail.java:96)
+    names = cols or df.columns
+    fields = {f.name: f for f in df.schema.fields}
+    flagged = F.array_compact(
+        F.array(
+            *[
+                F.when(_size_expr(fields[n]) > F.lit(threshold), F.lit(n)).otherwise(
+                    F.lit(None).cast("string")
+                )
+                for n in names
+            ]
+        )
+    )
+    return df.withColumn("_large_cols", flagged)
+
+
+def guardrail_check(df: DataFrame, col_size_kb: int, cols: list[str] | None = None):
+    """Run the screen; returns (offending_rows_df, JobCounter) with
+    READ / VALID / LARGE counts like GuardrailCheckJobSession."""
+    flagged = guardrail_flags(df, col_size_kb, cols)
+    agg = flagged.select(
+        F.count(F.lit(1)).alias("read"),
+        F.sum(F.when(F.size("_large_cols") > 0, 1).otherwise(0)).alias("large"),
+    ).collect()[0]
+    jc = JobCounter()
+    jc.add("READ", agg["read"] or 0)
+    jc.add("LARGE", agg["large"] or 0)
+    jc.add("VALID", (agg["read"] or 0) - (agg["large"] or 0))
+    return flagged.where(F.size("_large_cols") > 0), jc

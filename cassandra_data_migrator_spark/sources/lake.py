@@ -1,0 +1,362 @@
+"""Atomic-commit, hash-bucketed lake table over parquet.
+
+The north rule targets an Iceberg sink; this sandbox ships no lake-format
+jars, so this module implements the minimal lake-table contract the
+engine needs, in the same shape Iceberg provides it:
+
+  * **snapshot isolation** — a table is a directory of immutable parquet
+    data files plus a ``_manifests/`` log; readers resolve the CURRENT
+    pointer once and only ever see a committed snapshot.
+  * **atomic commits** — a commit writes new data files, then a new
+    manifest JSON, then atomically swaps the CURRENT pointer
+    (``os.replace``). A crash at any point leaves either the old or the
+    new snapshot, never a torn one (orphan data files are harmless).
+  * **idempotent commit keys** — every commit carries an application key
+    (``partition:batch_epoch`` in the CDC jobs). Keys live *inside* the
+    manifest, so "was this batch applied?" and "apply this batch" are the
+    same atomic unit — the exactly-once guard the reference approximates
+    with its ``cdm_run_details`` tracking table
+    (``cql/statement/TargetUpsertRunDetailsStatement.java:63-66``).
+  * **hash bucketing** — rows are bucketed by ``xxhash64(key) % N``
+    (Iceberg ``bucket(N, url)`` analog; CDM's token-range partitioning,
+    ``job/SplitPartitions.java:41-76``). Upserts only rewrite affected
+    buckets.
+  * **additive schema evolution** — the manifest stores the table schema;
+    merging a batch with new columns widens it, and old files read
+    through the widened schema yield nulls for the new columns (CDM's
+    missing-column => unset semantics, ``CqlTable.java:408-428``).
+  * **copy-on-write and merge-on-read** — ``merge_cow`` rewrites affected
+    buckets; ``append_mor`` appends delta files and defers last-writer-
+    wins resolution to read time (Hudi/Iceberg MoR analog), with
+    ``compact()`` folding deltas into the base.
+
+Rows are stored with their CDC system columns (``op``, ``warc_ts``,
+``seq``); deletes persist as tombstones so a late-arriving older event
+still loses LWW resolution (SURVEY §7.4 hard part b). ``read()`` drops
+tombstones at final projection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+MANIFEST_DIR = "_manifests"
+CURRENT_FILE = "CURRENT"
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key (Iceberg bucket-transform analog)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: str
+    num_buckets: int
+    key_col: str
+    ts_col: str
+    seq_col: str
+    op_col: str
+    base: dict[str, list[str]] = field(default_factory=dict)    # bucket -> base files
+    deltas: dict[str, list[str]] = field(default_factory=dict)  # bucket -> MoR delta files
+    applied: list[str] = field(default_factory=list)            # idempotent commit keys
+    props: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        return cls(**json.loads(s))
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+@dataclass
+class CommitResult:
+    committed: bool
+    version: int
+    skipped_keys: list[str] = field(default_factory=list)
+    rows_written: int = 0
+    buckets_rewritten: int = 0
+
+
+class LakeTable:
+    """One lake table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------- manifest IO
+    @property
+    def _mdir(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._mdir, CURRENT_FILE))
+
+    def manifest(self) -> Manifest:
+        with open(os.path.join(self._mdir, CURRENT_FILE)) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self._mdir, f"v{v:08d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def _swap(self, mf: Manifest, expected_parent: int) -> None:
+        """Atomically publish a new manifest version.
+
+        Single-writer optimistic check: the parent version on disk must
+        still be ``expected_parent`` (CDM likewise assumes one run at a
+        time per table, enforced via run_id in cdm_run_info).
+        """
+        cur = os.path.join(self._mdir, CURRENT_FILE)
+        if os.path.exists(cur):
+            with open(cur) as f:
+                on_disk = int(f.read().strip())
+            if on_disk != expected_parent:
+                raise RuntimeError(
+                    f"concurrent commit detected: expected v{expected_parent}, found v{on_disk}"
+                )
+        os.makedirs(self._mdir, exist_ok=True)
+        mpath = os.path.join(self._mdir, f"v{mf.version:08d}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(mf.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, mpath)
+        ctmp = cur + f".tmp.{uuid.uuid4().hex}"
+        with open(ctmp, "w") as f:
+            f.write(str(mf.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ctmp, cur)  # the atomic commit point
+
+    # ------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_col: str = "url",
+        ts_col: str = "warc_ts",
+        seq_col: str = "seq",
+        op_col: str = "op",
+        num_buckets: int = 64,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if t.exists():
+            return t
+        os.makedirs(t._mdir, exist_ok=True)
+        mf = Manifest(
+            version=1,
+            schema_json=json.dumps(schema.jsonValue()),
+            num_buckets=num_buckets,
+            key_col=key_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+            op_col=op_col,
+        )
+        t._swap(mf, expected_parent=1)  # first CURRENT write; no parent file exists
+        return t
+
+    # ------------------------------------------------------------- helpers
+    def _files(self, mf: Manifest, buckets: list[int] | None, which: str) -> list[str]:
+        store: dict[str, list[str]] = getattr(mf, which)
+        keys = [str(b) for b in buckets] if buckets is not None else list(store)
+        out: list[str] = []
+        for k in keys:
+            out.extend(os.path.join(self.path, p) for p in store.get(k, []))
+        return out
+
+    def _read_files(self, mf: Manifest, files: list[str]) -> DataFrame:
+        schema = mf.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema => old files yield null for columns added later
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _write_data(self, df: DataFrame, mf: Manifest) -> dict[str, list[str]]:
+        """Write df (bucketed) under data/c-<uuid>/; return bucket->relative files."""
+        commit_dir = f"data/c-{uuid.uuid4().hex}"
+        out = os.path.join(self.path, commit_dir)
+        # exactly one shuffle partition per bucket => one data file per
+        # (bucket, commit); without the explicit N, partitionBy would fan
+        # out to tasks×buckets tiny files
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
+            .repartition(mf.num_buckets, BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        by_bucket: dict[str, list[str]] = {}
+        for bdir in os.listdir(out):
+            if not bdir.startswith(f"{BUCKET_COL}="):
+                continue
+            b = bdir.split("=", 1)[1]
+            for fn in os.listdir(os.path.join(out, bdir)):
+                if fn.endswith(".parquet"):
+                    by_bucket.setdefault(b, []).append(
+                        os.path.join(commit_dir, bdir, fn)
+                    )
+        return by_bucket
+
+    def _lww_resolve(self, df: DataFrame, mf: Manifest) -> DataFrame:
+        """Keep, per key, the row with the largest (ts, seq).
+
+        Largest-writetime-wins with seq tie-break — the reference's row
+        timestamp semantics (``PKFactory.java:114-125``,
+        ``WritetimeTTL.java:235-258``; tie-break analog of
+        ``writetimeIncrement`` ``WritetimeTTL.java:244``).
+        """
+        cols = [c for c in df.columns if c != BUCKET_COL]
+        payload = F.struct(*[F.col(c) for c in cols])
+        winner = F.max_by(
+            payload, F.struct(F.col(mf.ts_col), F.col(mf.seq_col))
+        ).alias("_w")
+        return df.groupBy(mf.key_col).agg(winner).select("_w.*")
+
+    def _evolve_schema(self, mf: Manifest, batch: DataFrame) -> Manifest:
+        """Additively widen the table schema with new batch columns."""
+        cur = mf.schema()
+        names = {f.name for f in cur.fields}
+        new = [f for f in batch.schema.fields if f.name not in names and f.name != BUCKET_COL]
+        if new:
+            for f in new:
+                cur = cur.add(T.StructField(f.name, f.dataType, True))
+            mf.schema_json = json.dumps(cur.jsonValue())
+        return mf
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project df to the table schema, nulling absent columns."""
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # ------------------------------------------------------------- merge (CoW)
+    def merge_cow(self, batch: DataFrame, commit_keys: list[str] | str) -> CommitResult:
+        """LWW-upsert a (pre-deduplicated) batch; rewrite affected buckets.
+
+        Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+        INSERT`` analog of the reference's upsert sink
+        (``TargetInsertStatement.java:33-183``). ``commit_keys`` are the
+        idempotence keys covered by this batch (one per
+        ``partition:batch_epoch`` slice); if all are already applied the
+        call is a no-op. Callers re-driving a partially-applied epoch
+        must pre-filter the batch to the unapplied keys.
+        """
+        keys = [commit_keys] if isinstance(commit_keys, str) else list(commit_keys)
+        mf = self.manifest()
+        if all(k in mf.applied for k in keys):
+            return CommitResult(False, mf.version, skipped_keys=keys)
+        parent = mf.version
+        mf = self._evolve_schema(mf, batch)
+        schema = mf.schema()
+        batch = self._align(batch, schema).withColumn(
+            BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
+        )
+        affected = sorted(
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+        existing = self._read_files(
+            mf, self._files(mf, affected, "base") + self._files(mf, affected, "deltas")
+        ).withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
+        merged = self._lww_resolve(
+            existing.unionByName(batch, allowMissingColumns=True), mf
+        )
+        new_files = self._write_data(merged, mf)
+        mf.version = parent + 1
+        for b in affected:
+            mf.base[str(b)] = new_files.get(str(b), [])
+            mf.deltas.pop(str(b), None)
+        mf.applied.extend(k for k in keys if k not in mf.applied)
+        self._swap(mf, expected_parent=parent)
+        return CommitResult(True, mf.version, buckets_rewritten=len(affected))
+
+    # ------------------------------------------------------------- append (MoR)
+    def append_mor(self, batch: DataFrame, commit_keys: list[str] | str) -> CommitResult:
+        """Append a delta file set; LWW resolution deferred to read time.
+
+        Merge-on-read: O(batch) write cost per commit regardless of table
+        size — the scale path for 10^10-event ingest; ``compact()``
+        amortizes the read cost.
+        """
+        keys = [commit_keys] if isinstance(commit_keys, str) else list(commit_keys)
+        mf = self.manifest()
+        if all(k in mf.applied for k in keys):
+            return CommitResult(False, mf.version, skipped_keys=keys)
+        parent = mf.version
+        mf = self._evolve_schema(mf, batch)
+        batch = self._align(batch, mf.schema())
+        new_files = self._write_data(batch, mf)
+        mf.version = parent + 1
+        for b, files in new_files.items():
+            mf.deltas.setdefault(b, []).extend(files)
+        mf.applied.extend(k for k in keys if k not in mf.applied)
+        self._swap(mf, expected_parent=parent)
+        return CommitResult(True, mf.version, buckets_rewritten=0)
+
+    def compact(self, buckets: list[int] | None = None) -> CommitResult:
+        """Fold MoR deltas into the base for the given (or all) buckets."""
+        mf = self.manifest()
+        parent = mf.version
+        with_deltas = sorted(int(b) for b in mf.deltas if mf.deltas[b])
+        if buckets is not None:
+            with_deltas = [b for b in with_deltas if b in buckets]
+        if not with_deltas:
+            return CommitResult(False, mf.version)
+        df = self._read_files(
+            mf,
+            self._files(mf, with_deltas, "base") + self._files(mf, with_deltas, "deltas"),
+        ).withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
+        resolved = self._lww_resolve(df, mf)
+        new_files = self._write_data(resolved, mf)
+        mf.version = parent + 1
+        for b in with_deltas:
+            mf.base[str(b)] = new_files.get(str(b), [])
+            mf.deltas.pop(str(b), None)
+        self._swap(mf, expected_parent=parent)
+        return CommitResult(True, mf.version, buckets_rewritten=len(with_deltas))
+
+    # ------------------------------------------------------------- read
+    def read(
+        self,
+        include_tombstones: bool = False,
+        resolve: bool = True,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current snapshot. Tombstones ('D' rows) dropped at projection."""
+        mf = self.manifest()
+        base = self._read_files(mf, self._files(mf, buckets, "base"))
+        has_deltas = any(mf.deltas.values())
+        if has_deltas:
+            deltas = self._read_files(mf, self._files(mf, buckets, "deltas"))
+            df = base.unionByName(deltas, allowMissingColumns=True)
+            if resolve:
+                df = df.withColumn(
+                    BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
+                )
+                df = self._lww_resolve(df, mf)
+        else:
+            df = base
+        if not include_tombstones and mf.op_col in df.columns:
+            df = df.where(F.col(mf.op_col) != F.lit("D"))
+        return df
+
+    def applied_keys(self) -> set[str]:
+        return set(self.manifest().applied)

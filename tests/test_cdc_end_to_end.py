@@ -1,0 +1,150 @@
+"""End-to-end CDC replay tests — the SIT golden-test analog
+(/root/reference SIT/smoke/01_basic_kvp: migrate then validate, assert
+final state + counters)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.jobs import expected_state, ingest, validate
+from cassandra_data_migrator_spark.operators.diff import STATUS_COL
+from cassandra_data_migrator_spark.sources import changelog as wal
+from cassandra_data_migrator_spark.sources.lake import LakeTable
+
+N_EVENTS = 4_000
+EPOCH = 500
+
+
+def make_cfg(tmp_path, **kw) -> EngineConfig:
+    d = dict(
+        lake_path=str(tmp_path / "lake"),
+        lineage_path=str(tmp_path / "lineage"),
+        epoch_size=EPOCH,
+        num_partitions=8,
+        num_buckets=8,
+    )
+    d.update(kw)
+    return EngineConfig.from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = wal.changelog(
+        spark, N_EVENTS, n_urls=300, epoch_size=EPOCH, num_partitions=8
+    ).cache()
+    df.count()
+    return df
+
+
+def test_changelog_deterministic(spark, events):
+    again = wal.changelog(spark, N_EVENTS, n_urls=300, epoch_size=EPOCH, num_partitions=8)
+    assert events.exceptAll(again).count() == 0
+    assert again.exceptAll(events).count() == 0
+
+
+def test_changelog_has_skew_and_evolution(spark, events):
+    top = events.groupBy("url").count().orderBy(F.desc("count")).first()
+    assert top["count"] > N_EVENTS / 300 * 5, "zipf head should be hot"
+    # lang appears only in later epochs (additive evolution mid-stream)
+    pre = events.where("batch_epoch < 4").where(F.col("lang").isNotNull()).count()
+    post = events.where("batch_epoch >= 5").where(
+        F.col("lang").isNotNull() & (F.col("op") != "D")
+    ).count()
+    assert pre == 0 and post > 0
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_ingest_matches_expected_fold(spark, events, tmp_path, mode):
+    cfg = make_cfg(tmp_path / mode)
+    res = ingest(spark, cfg, changelog_df=events, mode=mode)
+    assert res.counters.get("READ") == N_EVENTS
+    lake = LakeTable(spark, cfg.lake_path)
+    actual = lake.read()
+    expected = expected_state(events, cfg)
+    # final state must equal the one-shot LWW fold exactly
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+    # winners whose final op is delete are gone
+    assert actual.where(F.col("op") == "D").count() == 0
+
+
+def test_validate_green(spark, events, tmp_path):
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    d, jc = validate(spark, cfg, changelog_df=events)
+    assert jc.get("MISSING") == 0
+    assert jc.get("MISMATCH") == 0
+    assert jc.get("VALID") > 0
+
+
+def test_kill_and_resume_no_duplicates(spark, events, tmp_path):
+    cfg = make_cfg(tmp_path)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest(spark, cfg, changelog_df=events, mode="mor", fail_at_epoch=3)
+    lake = LakeTable(spark, cfg.lake_path)
+    n_applied_before = len(lake.applied_keys())
+    assert n_applied_before > 0
+
+    # resume: must skip committed epochs, apply the rest, end in the same state
+    res = ingest(spark, cfg, changelog_df=events, mode="mor")
+    assert res.epochs_skipped, "resume should skip already-committed epochs"
+    actual = LakeTable(spark, cfg.lake_path).read()
+    expected = expected_state(events, cfg)
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+    # re-running a completed ingest is a no-op (idempotent commit keys)
+    res2 = ingest(spark, cfg, changelog_df=events, mode="mor")
+    assert not res2.epochs_applied
+
+
+def test_validate_detects_and_corrects_drift(spark, events, tmp_path):
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    lake = LakeTable(spark, cfg.lake_path)
+    # seed drift: tamper one row's text, delete another url entirely
+    snapshot = lake.read()
+    two = snapshot.orderBy("url").limit(2).collect()
+    tampered_url, missing_url = two[0]["url"], two[1]["url"]
+    drifted_rows = (
+        snapshot.withColumn(
+            "text",
+            F.when(F.col("url") == tampered_url, F.lit("corrupted")).otherwise(F.col("text")),
+        )
+        .where(F.col("url") != missing_url)
+        .collect()  # materialize before the source files are deleted
+    )
+    drifted_schema = snapshot.schema
+    drifted = spark.createDataFrame(drifted_rows, drifted_schema)
+    # rebuild a drifted lake
+    import shutil
+
+    shutil.rmtree(cfg.lake_path)
+    cfg2 = make_cfg(tmp_path, lake_path=cfg.lake_path)
+    lake2 = LakeTable.create(
+        spark, cfg2.lake_path, drifted.schema, num_buckets=cfg2.num_buckets
+    )
+    lake2.merge_cow(drifted, ["seed"])
+
+    d, jc = validate(spark, cfg2, changelog_df=events, autocorrect=False)
+    assert jc.get("MISMATCH") == 1
+    assert jc.get("MISSING") == 1
+    assert (
+        d.where(STATUS_COL + " = 'MISMATCH'").first()["url"] == tampered_url
+    )
+
+    # autocorrect heals; second validate is green
+    d2, jc2 = validate(spark, cfg2, changelog_df=events, autocorrect=True)
+    assert jc2.get("CORRECTED_MISSING") >= 1
+    d3, jc3 = validate(spark, cfg2, changelog_df=events, autocorrect=False)
+    assert jc3.get("MISSING") == 0 and jc3.get("MISMATCH") == 0
+
+
+def test_schema_evolution_lang_null_before_epoch(spark, events, tmp_path):
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    actual = LakeTable(spark, cfg.lake_path).read()
+    assert "lang" in actual.columns
+    # urls whose winning event predates evolution have lang null
+    pre = actual.where(F.col("lang").isNull()).count()
+    post = actual.where(F.col("lang").isNotNull()).count()
+    assert pre > 0 and post > 0
