@@ -1,0 +1,151 @@
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": "cdc_events_per_sec", "value": N, "unit": "events/sec",
+   "queries": {name: seconds, ...}, "sf": 0.1}
+
+The headline metric is the north rule's change-events/sec applied
+end-to-end (WAL generation excluded; ingest = LWW dedup + idempotent
+lake commits + final compaction). Query timings use the fast (xxhash64)
+hash mode — the portable polynomial hash exists only for oracle parity.
+
+Scaling evidence (N vs 4N cores): tools/bench_scaling.py runs this same
+ingest at two parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cassandra_data_migrator_spark.config import EngineConfig  # noqa: E402
+from cassandra_data_migrator_spark.entry_queries import QUERIES, t  # noqa: E402
+from cassandra_data_migrator_spark.operators import dedup, similarity  # noqa: E402
+from cassandra_data_migrator_spark.session import get_spark  # noqa: E402
+from cassandra_data_migrator_spark.sources import changelog as wal  # noqa: E402
+from cassandra_data_migrator_spark.sources.lake import LakeTable  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~2M events at sf0.1; scales linearly with sf
+_EVENTS_PER_SF = 20_000_000
+
+
+def _sf() -> float:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_cdc_replay(spark, n_events: int, epoch_size: int) -> tuple[float, int]:
+    """End-to-end replay throughput: WAL (cached) -> epochs -> LWW ->
+    MoR commits -> compaction. Returns (seconds, events)."""
+    ev = wal.changelog(
+        spark, n_events, epoch_size=epoch_size, num_partitions=CPUS, slices=CPUS * 2
+    )
+    ev = ev.persist()
+    ev.count()  # materialize generation outside the timed window
+    workdir = tempfile.mkdtemp(prefix="cdm_bench_")
+    cfg = EngineConfig.from_dict(
+        dict(
+            lake_path=f"{workdir}/lake",
+            lineage_path=f"{workdir}/lineage",
+            epoch_size=epoch_size,
+            num_partitions=CPUS,
+            num_buckets=max(32, CPUS),
+        )
+    )
+    from cassandra_data_migrator_spark.jobs import ingest
+
+    t0 = time.time()
+    ingest(spark, cfg, changelog_df=ev, mode="mor", compact_every=8)
+    dt = time.time() - t0
+    # verify the replay actually landed (not part of the timing)
+    n_keys = LakeTable(spark, cfg.lake_path).read().count()
+    assert n_keys > 0
+    ev.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return dt, n_events
+
+
+def headline_queries(spark) -> dict[str, float]:
+    """Per-query wall seconds (result fully materialized)."""
+    docs = t(spark, SF_DIR, "documents")
+    emb = t(spark, SF_DIR, "embeddings")
+
+    def run_df(df) -> int:
+        return df._jdf.count() if False else df.count()
+
+    cases = {
+        "tpch_q1": lambda: QUERIES["tpch_q1"](spark, SF_DIR),
+        "tpch_q3": lambda: QUERIES["tpch_q3"](spark, SF_DIR),
+        "tpch_q5": lambda: QUERIES["tpch_q5"](spark, SF_DIR),
+        "cdc_lww_latest": lambda: QUERIES["cdc_lww_latest"](spark, SF_DIR),
+        "diff_status": lambda: QUERIES["diff_status"](spark, SF_DIR),
+        "sessionize": lambda: QUERIES["sessionize"](spark, SF_DIR),
+        "dedup_minhash_fast": lambda: dedup.lsh_candidate_pairs(
+            dedup.minhash_signature(docs, "text", "doc_id", num_hashes=16, hash_mode="fast"),
+            "doc_id",
+            num_hashes=16,
+            bands=8,
+        ),
+        "dedup_simhash_fast": lambda: dedup.simhash_near_pairs(
+            dedup.simhash(docs, "text", "doc_id", bits=32, hash_mode="fast"), "doc_id"
+        ),
+        "ann_topk": lambda: similarity.brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=5
+        ),
+        "ann_lsh_topk": lambda: similarity.lsh_bucketed_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=5
+        ),
+        "embed_cosine_pairs": lambda: QUERIES["embed_cosine_pairs"](spark, SF_DIR),
+        "quality_score": lambda: QUERIES["quality_score"](spark, SF_DIR),
+        "lang_id": lambda: QUERIES["lang_id"](spark, SF_DIR),
+        "multimodal_meta": lambda: QUERIES["multimodal_meta"](spark, SF_DIR),
+    }
+    out: dict[str, float] = {}
+    for name, mk in cases.items():
+        t0 = time.time()
+        mk().count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> int:
+    sf = _sf()
+    spark = get_spark(
+        "cdm-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    qtimes = headline_queries(spark)
+    n_events = max(100_000, int(_EVENTS_PER_SF * sf))
+    epoch_size = max(20_000, n_events // 16)
+    cdc_sec, n = bench_cdc_replay(spark, n_events, epoch_size)
+    qtimes["cdc_replay"] = round(cdc_sec, 3)
+    result = {
+        "metric": "cdc_events_per_sec",
+        "value": round(n / cdc_sec, 1),
+        "unit": "events/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "cdc_events": n,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,947 @@
+"""Oracle-paired queries: every implemented operator exposed as a
+(spark_callable, duckdb_sql) pair over the driver-provided test tables.
+
+The Spark side goes through the engine's operator modules; the SQL side
+is the independent ANSI re-statement DuckDB executes on the same
+parquet. Numeric policy for cross-engine hash equality:
+
+* money math is done in explicitly-cast DECIMALs at every intermediate
+  step (all products have bounded scale, so no rounding happens
+  anywhere), then cast to DOUBLE at the end — bit-identical;
+* int ratios divide exact integers in double — bit-identical;
+* embedding math folds float->double sequentially in array order in
+  both engines — bit-identical;
+* hashes use the portable polynomial hash (functions/hashes.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .functions import transforms
+from .functions.hashes import P_MOD, minhash_coeffs, portable_hash_expr, portable_hash_sql
+from .operators import dedup, similarity, text as textops, multimodal
+from .operators.diff import STATUS_COL, diff
+from .operators.lww import lww_dedup
+from .sources.changelog import events_as_changelog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# SQL fragment: the changelog view of events (shared by CDC oracles)
+CHANGELOG_SQL = (
+    "SELECT event_id AS seq, "
+    "'https://example.com/u/' || CAST(user_id AS VARCHAR) AS url, "
+    "ts AS warc_ts, "
+    "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, "
+    "event_type, value, props FROM events"
+)
+
+# decimal money helpers (see module docstring)
+_EP = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DISC = "CAST(l_discount AS DECIMAL(18,2))"
+_TAX = "CAST(l_tax AS DECIMAL(18,2))"
+_DISC_PRICE = f"CAST({_EP} * (1 - {_DISC}) AS DECIMAL(18,4))"
+_CHARGE = f"CAST({_DISC_PRICE} * (1 + {_TAX}) AS DECIMAL(18,6))"
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    return F.sum(col).cast("double")
+
+
+def _money(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ===================================================================== CDC core
+def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+A1: LWW fold — latest change event per key (PKFactory analog)."""
+    ev = events_as_changelog(spark, sf_dir)
+    win = lww_dedup(ev, "url", "warc_ts", "seq")
+    return win.select("url", "seq", "op", "event_type", "value")
+
+
+SQL_CDC_LWW_LATEST = f"""
+SELECT url, seq, op, event_type, value FROM ({CHANGELOG_SQL})
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+"""
+
+
+def q_cdc_fold_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final table state after I/U/D replay: LWW winner per key, delete
+    winners dropped (the verify fold of jobs.expected_state)."""
+    ev = events_as_changelog(spark, sf_dir)
+    win = lww_dedup(ev, "url", "warc_ts", "seq").where(F.col("op") != "D")
+    return win.select("url", "seq", "event_type", "value")
+
+
+SQL_CDC_FOLD_UPSERT = f"""
+SELECT url, seq, event_type, value FROM (
+  SELECT * FROM ({CHANGELOG_SQL})
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+) WHERE op <> 'D'
+"""
+
+
+def q_cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 metrics analog: final-state op distribution."""
+    ev = events_as_changelog(spark, sf_dir)
+    win = lww_dedup(ev, "url", "warc_ts", "seq")
+    return win.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_CDC_OP_MIX = f"""
+SELECT op, COUNT(*) AS n FROM (
+  SELECT * FROM ({CHANGELOG_SQL})
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+) GROUP BY op
+"""
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay — WAL epochs -> LWW dedup ->
+    atomic-commit lake merges -> snapshot read. Must equal the
+    declarative fold the oracle computes (replay-and-verify contract).
+    """
+    import tempfile
+
+    ev = events_as_changelog(spark, sf_dir).withColumn(
+        "partition", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    ).withColumn("batch_epoch", F.floor(F.col("seq") / F.lit(2000)).cast("long"))
+    workdir = tempfile.mkdtemp(prefix="cdm_replay_")
+    cfg = EngineConfig.from_dict(
+        dict(lake_path=f"{workdir}/lake", lineage_path="", num_partitions=8, num_buckets=16)
+    )
+    from .jobs import ingest
+    from .sources.lake import LakeTable
+
+    ingest(spark, cfg, changelog_df=ev, mode="mor")
+    out = LakeTable(spark, cfg.lake_path).read()
+    return out.select("url", "seq", "event_type", "value")
+
+
+SQL_CDC_REPLAY_FINAL_STATE = SQL_CDC_FOLD_UPSERT
+
+
+# ===================================================================== diff/validate
+def q_diff_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 MISSING case as a left-anti join: customers with no events."""
+    cust = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_DIFF_MISSING = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+def q_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full validate pass (DiffJobSession analog) against a seeded-drift
+    copy of customer: %89 keys dropped (MISSING), %97 acctbal drifted
+    (MISMATCH), rest VALID — the autocorrect_kvp SIT fixture shape."""
+    cust = t(spark, sf_dir, "customer")
+    drifted = cust.where(F.col("c_custkey") % 89 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 1.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    d = diff(cust, drifted, "c_custkey", ["c_name", "c_acctbal", "c_mktsegment"],
+             byte_cols=("c_name",))
+    return d.select(F.col("c_custkey"), F.col(STATUS_COL).alias("status"))
+
+
+SQL_DIFF_STATUS = """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 89 = 0 THEN 'MISSING'
+       WHEN c_custkey % 97 = 0 THEN 'MISMATCH'
+       ELSE 'VALID' END AS status
+FROM customer
+"""
+
+
+# ===================================================================== guardrail
+def q_guardrail_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: rows whose text exceeds the size guardrail, with sizes."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_bytes", F.octet_length("text"))
+        .where(F.col("n_bytes") > 450)
+        .select("doc_id", "n_bytes")
+    )
+
+
+SQL_GUARDRAIL_LARGE = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+WHERE octet_length(encode(text)) > 450
+"""
+
+
+def q_guardrail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    large = F.octet_length("text") > 450
+    return docs.select(
+        F.count(F.lit(1)).alias("read_cnt"),
+        F.sum(F.when(large, 1).otherwise(0)).alias("large_cnt"),
+        F.sum(F.when(large, 0).otherwise(1)).alias("valid_cnt"),
+    )
+
+
+SQL_GUARDRAIL_COUNTS = """
+SELECT COUNT(*) AS read_cnt,
+  SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 1 ELSE 0 END) AS large_cnt,
+  SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 0 ELSE 1 END) AS valid_cnt
+FROM documents
+"""
+
+
+# ===================================================================== functions
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 explode: token frequency top-20 (fan-out like ExplodeMap)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
+def q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 ExtractJson: pull $.k out of the props JSON column."""
+    ev = transforms.extract_json(t(spark, sf_dir, "events"), "props", "k", "k_val")
+    return (
+        ev.withColumn("k_val", F.col("k_val").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("k_val").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
+        )
+    )
+
+
+SQL_EXTRACT_JSON = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_constants_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ConstantColumns + rename map (DataUtility.java:71-140 analog)."""
+    nat = t(spark, sf_dir, "nation")
+    out = transforms.rename_columns(nat, {"n_nationkey": "nation_id", "n_name": "name"})
+    out = transforms.constant_columns(out, {"source": "cdm", "const2": 1234})
+    return out.select("nation_id", "name", "source", "const2")
+
+
+SQL_CONSTANTS_RENAME = """
+SELECT n_nationkey AS nation_id, n_name AS name, 'cdm' AS source, 1234 AS const2
+FROM nation
+"""
+
+
+def q_null_key_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 null-PK replacement: null key components get a default."""
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    out = transforms.null_key_replace(cust, ["seg"], {"seg": "__NULL__"})
+    return out.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_NULL_KEY_REPLACE = """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '__NULL__') AS seg, COUNT(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def q_writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 row-wise greatest-writetime (WritetimeTTL.java:235-258)."""
+    ev = t(spark, sf_dir, "events")
+    eff = F.greatest(F.col("ts").cast("date"), F.lit("2024-01-15").cast("date"))
+    return (
+        ev.withColumn("eff_day", eff.cast("string"))
+        .groupBy("eff_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_WRITETIME_GREATEST = """
+SELECT CAST(greatest(CAST(ts AS DATE), DATE '2024-01-15') AS VARCHAR) AS eff_day,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ===================================================================== token ranges
+_TOKEN_SQL = "(user_id * 2654435761) % 8192"
+
+
+def _token_col() -> F.Column:
+    return (F.col("user_id") * F.lit(2654435761)) % F.lit(8192)
+
+
+def q_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/S1: token-range-restricted scan (pushdown predicate)."""
+    ev = t(spark, sf_dir, "events").withColumn("tok", _token_col())
+    return (
+        ev.where((F.col("tok") >= 2000) & (F.col("tok") <= 5999))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(_money("value")).alias("total"))
+    )
+
+
+SQL_TOKEN_RANGE_SCAN = f"""
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events WHERE {_TOKEN_SQL} BETWEEN 2000 AND 5999 GROUP BY event_type
+"""
+
+
+def q_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 coveragePercent sampling: first 25% of the token space."""
+    ev = t(spark, sf_dir, "events").withColumn("tok", _token_col())
+    return (
+        ev.where(F.col("tok") % 100 < 25)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_COVERAGE_SAMPLE = f"""
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE {_TOKEN_SQL} % 100 < 25 GROUP BY event_type
+"""
+
+
+def q_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 counter accumulation: grouped sum per key (counter-table
+    delta-merge analog, TargetUpdateStatement.java:69-76)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(_money("value")).alias("total_value"),
+    )
+
+
+SQL_COUNTER_DELTA = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_origin_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4+P5 combined: user WHERE + writetime range + value skip,
+    through the engine's apply_origin_filters."""
+    from .jobs import apply_origin_filters
+
+    cfg = EngineConfig.from_dict(
+        dict(
+            ts_col="ts",
+            where_condition="value > 5.0",
+            min_ts="2024-01-02 00:00:00",
+            max_ts="2024-01-20 00:00:00",
+            filter_column="event_type",
+            filter_value="ERROR",
+        )
+    )
+    ev = apply_origin_filters(t(spark, sf_dir, "events"), cfg)
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_ORIGIN_FILTERS = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE value > 5.0
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND lower(trim(event_type)) <> 'error'
+GROUP BY event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-adjacent: gap-based sessionization (30-min gaps) via
+    analytic window; per-user session count."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    gap = ms(F.col("ts")) - ms(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern: two-phase salted aggregation — must equal the plain
+    groupBy the oracle runs (salting correctness proof)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    phase1 = ev.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum(_money("value")).alias("s")
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.sum("s").cast("double").alias("total")
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+"""
+
+
+# ===================================================================== TPC-H headliners
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (scan+agg headline; exact decimal intermediates)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = (_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1) + _money("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(_money("l_quantity")).alias("sum_qty"),
+            _dec_sum(_money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_EP}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: 3-way join + agg + deterministic top-10."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    disc_price = (_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS orderdate,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: 6-way join chain; dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc_price = (_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ===================================================================== dedup family
+_MINHASH_K = 8
+_SHINGLE_N = 3
+
+
+def _grams_sql(text_expr: str = "text", n: int = _SHINGLE_N) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len(string_split({text_expr}, ' ')) - {n - 1}), "
+        f"i -> array_to_string(list_slice(string_split({text_expr}, ' '), i, i + {n - 1}), ' ')))"
+    )
+
+
+def _sig_select_sql() -> str:
+    cols = []
+    for i, (a, b) in enumerate(minhash_coeffs(_MINHASH_K)):
+        cols.append(f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {P_MOD})) AS sig_{i}")
+    return ",\n  ".join(cols)
+
+
+_MINHASH_BASE_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, {_grams_sql()} AS g FROM documents
+), h AS (
+  SELECT doc_id, list_transform(g, s -> {portable_hash_sql('s')}) AS hs FROM grams
+)
+SELECT doc_id,
+  {{sig_cols}}
+FROM h
+""".replace("{sig_cols}", _sig_select_sql())
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy duplicate groups (on events.props,
+    which has guaranteed collisions)."""
+    ev = t(spark, sf_dir, "events")
+    return dedup.exact_duplicate_groups(ev, "props", "event_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(props) AS content_hash, COUNT(*) AS dup_count, MIN(event_id) AS keep_id
+FROM events GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (portable hash) — shingle -> hash -> per-
+    permutation min, all array expressions, zero shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
+        hash_mode="portable",
+    )
+
+
+SQL_DEDUP_MINHASH_SIG = _MINHASH_BASE_SQL
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (bands of 2) with estimated jaccard."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
+        hash_mode="portable",
+    )
+    return dedup.lsh_candidate_pairs(sig, "doc_id", num_hashes=_MINHASH_K, bands=4)
+
+
+def _minhash_pairs_sql() -> str:
+    rows_per_band = _MINHASH_K // 4
+    # band signature per band id, unioned (the SQL analog of the
+    # band-struct explode on the Spark side)
+    unions = []
+    for b in range(4):
+        parts = " || ':' || ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        unions.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_sig FROM sig")
+    eq_terms = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH sig AS ({_MINHASH_BASE_SQL}),
+banded AS ({' UNION ALL '.join(unions)}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+  CAST(({eq_terms.replace('a.sig', 'sa.sig').replace('b.sig', 'sb.sig')}) AS DOUBLE) / {float(_MINHASH_K)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+SQL_DEDUP_MINHASH_PAIRS = _minhash_pairs_sql()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, portable hash)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=32, hash_mode="portable")
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+), h AS (
+  SELECT doc_id, list_transform(tk, s -> {portable_hash_sql('s')}) AS hs FROM toks
+), votes AS (
+  SELECT doc_id, r.b AS bit,
+    list_reduce(list_prepend(0::BIGINT, hs),
+                (acc, x) -> acc + (((x >> r.b) & 1) * 2 - 1)) AS vote
+  FROM h, range(32) r(b)
+)
+SELECT doc_id,
+  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked by lang."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", n=_SHINGLE_N, threshold=0.12
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+  FROM (SELECT doc_id, lang, {_grams_sql()} AS g FROM documents) a
+  JOIN (SELECT doc_id, lang, {_grams_sql()} AS g FROM documents) b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+) WHERE jaccard >= 0.12
+"""
+
+
+# ===================================================================== similarity
+_DIMS = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_DIMS}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold self-join)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, threshold=0.5, round_digits=4)
+
+
+SQL_EMBED_COSINE_PAIRS = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.5
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (exact ANN baseline)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5, round_digits=6)
+
+
+SQL_ANN_TOPK = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+  CAST(row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id ASC
+  ) AS INTEGER) AS rank
+FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+WHERE q.vec_id < 5
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via hyperplane-LSH buckets — the 10^10 scale path
+    (no SQL oracle: approximation is plan-dependent; rows-only check)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(emb, queries, k=5, dims=_DIMS, planes=4)
+
+
+# ===================================================================== text analysis
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return textops.lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+def _lang_id_sql() -> str:
+    hits = []
+    for lang, words in textops.LANG_STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(string_split(text, ' '), x -> list_contains([{arr}], x))) AS h_{lang}"
+        )
+    langs = list(textops.LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN h_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN m = 0 THEN 'unknown' {case} END AS lang_pred
+FROM (SELECT doc_id, lang, {m} AS m, * FROM (
+  SELECT doc_id, lang, {', '.join(hits)} FROM documents))
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return textops.quality_score(docs, "text").select(
+        "doc_id", "n_tokens_q", "avg_token_len", "stopword_ratio", "punct_ratio", "quality"
+    )
+
+
+def _quality_sql() -> str:
+    arr = ", ".join(f"'{w}'" for w in textops.STOPWORDS_EN)
+    stripped = "text"
+    for p in [".", ",", "!", "?", ";", ":"]:
+        stripped = f"replace({stripped}, '{p}', '')"
+    return f"""
+SELECT doc_id, n_toks AS n_tokens_q,
+  CAST(n_chars - (n_toks - 1) AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_token_len,
+  CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stopword_ratio,
+  CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  least(CAST(n_toks AS DOUBLE) / 64.0, 1.0) * 0.4
+    + least(CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE) * 5.0, 1.0) * 0.3
+    + (1.0 - least(CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.3 AS quality
+FROM (
+  SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_toks,
+    length(text) - length({stripped}) AS punct,
+    len(list_filter(string_split(text, ' '), x -> list_contains([{arr}], x))) AS stop_hits
+  FROM documents)
+"""
+
+
+SQL_QUALITY_SCORE = _quality_sql()
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = textops.token_count(t(spark, sf_dir, "documents"), "text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+        F.sum("n_subwords_est").alias("total_subwords"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+  SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS total_subwords
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return textops.fingerprint(docs, "text", "doc_id", hash_mode="portable")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, {portable_hash_sql('text')} AS fingerprint FROM documents
+"""
+
+
+# ===================================================================== multimodal
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode -> Arrow mapInPandas feature
+    extraction (deterministic fake decode) — oracle recomputes the
+    features arithmetically."""
+    docs = t(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary(docs, "text")
+    return multimodal.extract_features(with_payload)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE 0 END AS INTEGER) AS first_byte,
+  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+  CAST((octet_length(encode(text)) // 7) % 480 + 16 AS INTEGER) AS height,
+  'fake/v1' AS format
+FROM documents
+"""
+
+
+# ===================================================================== registry
+QUERIES: dict[str, QueryFn] = {
+    # CDC core (SURVEY §2.1-2.4)
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_fold_upsert": q_cdc_fold_upsert,
+    "cdc_op_mix": q_cdc_op_mix,
+    "cdc_replay_final_state": q_cdc_replay_final_state,
+    "diff_missing": q_diff_missing,
+    "diff_status": q_diff_status,
+    "guardrail_large": q_guardrail_large,
+    "guardrail_counts": q_guardrail_counts,
+    # functions (SURVEY §2.6)
+    "explode_tokens": q_explode_tokens,
+    "extract_json": q_extract_json,
+    "constants_rename": q_constants_rename,
+    "null_key_replace": q_null_key_replace,
+    "writetime_greatest": q_writetime_greatest,
+    # scan shaping (SURVEY §2.2)
+    "token_range_scan": q_token_range_scan,
+    "coverage_sample": q_coverage_sample,
+    "counter_delta": q_counter_delta,
+    "origin_filters": q_origin_filters,
+    "sessionize": q_sessionize,
+    "skew_salted_agg": q_skew_salted_agg,
+    # analytics headliners
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    # training-data ops
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embed_cosine_pairs": q_embed_cosine_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_latest": SQL_CDC_LWW_LATEST,
+    "cdc_fold_upsert": SQL_CDC_FOLD_UPSERT,
+    "cdc_op_mix": SQL_CDC_OP_MIX,
+    "cdc_replay_final_state": SQL_CDC_REPLAY_FINAL_STATE,
+    "diff_missing": SQL_DIFF_MISSING,
+    "diff_status": SQL_DIFF_STATUS,
+    "guardrail_large": SQL_GUARDRAIL_LARGE,
+    "guardrail_counts": SQL_GUARDRAIL_COUNTS,
+    "explode_tokens": SQL_EXPLODE_TOKENS,
+    "extract_json": SQL_EXTRACT_JSON,
+    "constants_rename": SQL_CONSTANTS_RENAME,
+    "null_key_replace": SQL_NULL_KEY_REPLACE,
+    "writetime_greatest": SQL_WRITETIME_GREATEST,
+    "token_range_scan": SQL_TOKEN_RANGE_SCAN,
+    "coverage_sample": SQL_COVERAGE_SAMPLE,
+    "counter_delta": SQL_COUNTER_DELTA,
+    "origin_filters": SQL_ORIGIN_FILTERS,
+    "sessionize": SQL_SESSIONIZE,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    # ann_lsh_topk: approximate — intentionally no oracle (rows-only)
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_stats": SQL_TOKEN_STATS,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

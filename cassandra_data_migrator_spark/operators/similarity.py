@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_expr`` — JVM-side cosine via zip_with + aggregate in double
+  precision (deterministic sequential fold => oracle-reproducible).
+* ``brute_force_topk`` — exact top-k per query: broadcast the (small)
+  query set against the corpus, one shuffle for the ranking window.
+  The correctness baseline.
+* ``cosine_near_pairs`` — threshold self-join for embedding near-dup
+  detection.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane signs
+  (deterministic pseudo-hyperplanes from xxhash64) bucket the corpus;
+  only same/adjacent-bucket candidates are scored. Approximate; at
+  10^10 rows this replaces the quadratic join with a bounded
+  bucket-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,  # unused: raw doubles are cross-engine exact
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` rows per ``queries`` row.
+
+    The query side is broadcast (it is small by construction); ranking
+    uses a deterministic (score desc, id asc) order."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = emb.alias("c").join(F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id"))
+    cos = cosine_expr(F.col("_qv"), F.col(f"c.{vec_col}"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            F.col("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    round_digits: int = 6,  # unused: raw doubles are cross-engine exact
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    With ``block_col`` the quadratic join is confined to blocks — at
+    scale pass an LSH bucket column."""
+    a, b = emb.alias("a"), emb.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_bucket_expr(vec_col: str, dims: int, planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Pseudo-hyperplane p's component for dimension d is ±1 from
+    xxhash64(d, p) — no stored model, reproducible across runs and
+    engines that share xxhash64."""
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+
+    def mk_sign(plane: int):
+        # closure factory (a default-arg lambda would be read as a
+        # (value, index) HOF lambda by PySpark)
+        return lambda d: (
+            F.pmod(F.xxhash64(d, F.lit(f"plane-{plane}")), F.lit(2)) * 2 - 1
+        ).cast("double")
+
+    for p in range(planes):
+        signs = F.transform(F.sequence(F.lit(0), F.lit(dims - 1)), mk_sign(p))
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's
+    hyperplane bucket. The 10^10-scale path (bucket-join instead of
+    cross-join); recall traded for a ~2^planes candidate reduction."""
+    from pyspark.sql import Window
+
+    bucket = hyperplane_bucket_expr(vec_col, dims, planes)
+    c = emb.withColumn("_bkt", bucket).alias("c")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket_expr(vec_col, dims, planes).alias("_qbkt"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("c._bkt") == F.col("_qbkt")) & (F.col(f"c.{id_col}") != F.col("query_id")),
+    )
+    cos = cosine_expr(F.col("_qv"), F.col(f"c.{vec_col}"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", F.col(f"c.{id_col}").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All built from JVM-side string/array expressions so they survive
+whole-stage codegen; the heuristics are intentionally simple (n-gram /
+stopword statistics) — the point is the distributed shape, not
+linguistic accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import fast_hash, portable_hash_expr
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我"],
+}
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens_expr(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(df: DataFrame, col: str, out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (chars/4 heuristic used by tokenizer cost models)."""
+    toks = tokens_expr(col)
+    return df.withColumn(out_col, F.size(toks)).withColumn(
+        "n_subwords_est", F.ceil(F.length(F.col(col)).cast("double") / F.lit(4.0)).cast("long")
+    )
+
+
+def _stopword_hits(col: str, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_expr(col), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID with a deterministic tie-break (first
+    language in table order wins ties)."""
+    scores = {lang: _stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+    m = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # build reversed CASE chain: first lang in order wins ties
+    expr = None
+    for lang in LANG_STOPWORDS:
+        cond = scores[lang] == m
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = F.when(m > 0, expr).otherwise(F.lit("unknown"))
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(df: DataFrame, col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite score in [0, 1]."""
+    c = F.col(col)
+    toks = tokens_expr(col)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    # punctuation density via length-difference (portable, regex-free)
+    stripped = c
+    for p in [".", ",", "!", "?", ";", ":"]:
+        stripped = F.replace(stripped, F.lit(p), F.lit(""))
+    punct = n_chars - F.length(stripped)
+    stop_hits = _stopword_hits(col, STOPWORDS_EN)
+    avg_tok_len = (n_chars - (n_toks - 1)).cast("double") / n_toks.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    score = (
+        F.least(n_toks.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.3)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_toks)
+        .withColumn("avg_token_len", avg_tok_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def fingerprint(df: DataFrame, col: str, id_col: str, hash_mode: str = "fast") -> DataFrame:
+    """Whole-document rolling-hash fingerprint (content identity key)."""
+    h = portable_hash_expr(col) if hash_mode == "portable" else fast_hash(F.col(col))
+    return df.select(F.col(id_col), h.alias("fingerprint"))

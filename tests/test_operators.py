@@ -1,0 +1,150 @@
+"""Unit tests per operator/transform — the CDM JUnit layer analog
+(reference: 60 per-component tests under src/test/java/com/datastax/cdm)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions import transforms
+from cassandra_data_migrator_spark.functions.hashes import portable_hash_expr
+from cassandra_data_migrator_spark.operators import dedup, guardrail, lww, multimodal, similarity
+from cassandra_data_migrator_spark.plans import partitions
+
+
+def test_explode_map(spark):
+    df = spark.createDataFrame(
+        [("k1", "v1", {"apple": 1, "pear": 2})], "key string, value string, fruits map<string,int>"
+    )
+    out = transforms.explode_map(df, "fruits", "fruit", "fruit_qty")
+    rows = {(r["fruit"], r["fruit_qty"]) for r in out.collect()}
+    assert rows == {("apple", 1), ("pear", 2)}
+    assert "fruits" not in out.columns
+
+
+def test_extract_json_overwrite_skip(spark):
+    df = spark.createDataFrame(
+        [('{"f": "new"}', "old"), ('{"f": "x"}', None)], "payload string, target string"
+    )
+    keep = transforms.extract_json(df, "payload", "f", "target", overwrite=False)
+    assert [r["target"] for r in keep.orderBy("payload").collect()] == ["old", "x"]
+    clobber = transforms.extract_json(df, "payload", "f", "target", overwrite=True)
+    assert [r["target"] for r in clobber.orderBy("payload").collect()] == ["new", "x"]
+
+
+def test_rename_with_unset_target_cols(spark):
+    df = spark.createDataFrame([(1, "a")], "src_id int, name string")
+    out = transforms.rename_columns(
+        df, {"src_id": "dst_id"}, target_cols=["dst_id", "name", "extra"]
+    )
+    row = out.first()
+    assert row["dst_id"] == 1 and row["extra"] is None
+
+
+def test_null_key_replace_and_validity(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    replaced = transforms.null_key_replace(df, ["k"])
+    assert {r["k"] for r in replaced.collect()} == {"a", ""}
+    dropped = transforms.drop_invalid_keys(df, ["k"])
+    assert dropped.count() == 1
+
+
+def test_scrub_null_map_values(spark):
+    df = spark.createDataFrame([({"a": 1, "b": None},)], "m map<string,int>")
+    out = transforms.scrub_null_map_values(df, ["m"])
+    assert out.first()["m"] == {"a": 1}
+
+
+def test_cast_and_format(spark):
+    df = spark.createDataFrame([("42", "2024-06-01 12:00:00")], "n string, ts string")
+    out = transforms.cast_columns(df, {"n": "int", "ts": "timestamp"})
+    assert dict(out.dtypes)["n"] == "int"
+    fmt = transforms.format_timestamp(out, "ts", "ts_s", "yyyy/MM/dd")
+    assert fmt.first()["ts_s"] == "2024/06/01"
+
+
+def test_greatest_writetime(spark):
+    df = spark.createDataFrame([(1, 5, 3)], "a int, b int, c int")
+    out = transforms.greatest_writetime(df, ["a", "b", "c"], "wt", increment=10)
+    assert out.first()["wt"] == 15
+
+
+def test_token_ranges_cover_space():
+    rs = partitions.split_token_ranges(10)
+    assert rs[0].min_token == 0
+    assert rs[-1].max_token == partitions.TOKEN_SPACE - 1
+    for prev, cur in zip(rs, rs[1:]):
+        assert cur.min_token == prev.max_token + 1
+    with pytest.raises(ValueError):
+        partitions.split_token_ranges(4, coverage_percent=0)
+
+
+def test_coverage_filter_reduces(spark):
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    frac = df.where(partitions.coverage_filter("k", 20)).count() / 5000
+    assert 0.1 < frac < 0.3
+
+
+def test_salted_lww_equals_plain(spark):
+    df = spark.createDataFrame(
+        [(f"u{i % 7}", i % 13, i) for i in range(500)], "url string, warc_ts long, seq long"
+    ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+    a = lww.lww_dedup(df).orderBy("url").collect()
+    b = lww.lww_dedup_salted(df, salt_buckets=4).orderBy("url").collect()
+    assert a == b
+
+
+def test_guardrail_counters(spark):
+    df = spark.createDataFrame([("a", "x" * 2000), ("b", "y")], "k string, payload string")
+    offending, jc = guardrail.guardrail_check(df, col_size_kb=1)
+    assert jc.get("READ") == 2 and jc.get("LARGE") == 1 and jc.get("VALID") == 1
+    assert offending.first()["_large_cols"] == ["payload"]
+
+
+def test_minhash_similar_docs_share_bands(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    nearly = base + " extra"
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, nearly), (3, other)], "doc_id long, text string"
+    )
+    sig = dedup.minhash_signature(df, "text", "doc_id", num_hashes=16, hash_mode="fast")
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} or 3 not in p for p in found)
+
+
+def test_simhash_hamming_near_for_similar(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, " ".join(f"q{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    fp = dedup.simhash(df, "text", "doc_id", hash_mode="fast")
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(vals[1], vals[2]) < ham(vals[1], vals[3])
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    cos = df.select(
+        similarity.cosine_expr(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()["c"]
+    assert abs(cos - 1.0) < 1e-12
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = multimodal.extract_features(multimodal.attach_binary(df, "text")).collect()
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[1]["n_bytes"] == 5 and byid[1]["first_byte"] == ord("h")
+    assert byid[2]["n_bytes"] == 0 and byid[2]["first_byte"] == 0
+
+
+def test_portable_hash_known_values(spark):
+    # pinned values — the DuckDB oracle computes the same fold
+    df = spark.createDataFrame([("hello",), ("",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash_expr("s").alias("h")).collect()}
+    assert got["hello"] == 99162322 and got[""] == 0
