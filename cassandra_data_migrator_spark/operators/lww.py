@@ -70,3 +70,27 @@ def lww_dedup_salted(
         .select("_w.*")
     )
     return lww_dedup(phase1, key_col, ts_col, seq_col)
+
+
+def lww_dedup_skinny(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """LWW fold that never sorts or aggregates the wide payload.
+
+    ``max_by(struct(payload), ord)`` plans as SortAggregate (struct
+    buffers are not hash-aggregable), which sorts full rows twice per
+    batch — html payloads included. This variant aggregates only
+    ``(key, ts, seq)`` to find each key's winning seq, then inner-joins
+    back on ``(key, seq)`` (seq is unique). The wide payload is shuffled
+    once for the join but never sorted; AQE can skew-split the join.
+    Preferred at large payload sizes."""
+    winners = (
+        df.select(key_col, ts_col, seq_col)
+        .groupBy(key_col)
+        .agg(F.max_by(F.col(seq_col), _order(ts_col, seq_col)).alias(seq_col))
+    )
+    # the join moves the on-columns first; restore the input column order
+    return df.join(winners, on=[key_col, seq_col], how="left_semi").select(*df.columns)

@@ -3,11 +3,21 @@
 The north rule's two-cluster-size criterion (>=0.8 throughput scaling
 efficiency from N to 4N executors) cannot use a real cluster in this
 sandbox; per BASELINE.md it is evidenced by running the identical job
-at two local parallelism levels on the same input. Each level runs in
-its own subprocess (fresh JVM, local[N] vs local[4N]) and the parent
-writes BENCH/BASELINE.md.
+at two local parallelism levels on the same input.
 
-Usage: python tools/bench_scaling.py [n_low] [events]
+Protocol:
+  1. the parent generates the deterministic WAL ONCE and materializes
+     it as epoch-partitioned parquet (generation excluded from timing;
+     both levels replay byte-identical files);
+  2. each level runs in its own subprocess (fresh JVM, local[N]):
+     warm-up replay, then the timed replay;
+  3. efficiency = (throughput_4N / throughput_N) / 4 -> BENCH/BASELINE.md.
+
+Epoch sizing mirrors the 10^10-event regime (10^7 events per epoch):
+per-epoch work must dwarf per-epoch fixed costs for added cores to
+matter, exactly as on a real cluster.
+
+Usage: python tools/bench_scaling.py [n_low] [events] [epoch_size]
 """
 
 from __future__ import annotations
@@ -20,35 +30,43 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from cassandra_data_migrator_spark.session import get_spark
+from cassandra_data_migrator_spark.sources import changelog as wal
+n_events, epoch_size, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+spark = get_spark("scaling-gen", master="local[32]", shuffle_partitions=32)
+ev = wal.changelog(spark, n_events, epoch_size=epoch_size,
+                   num_partitions=32, slices=128)
+wal.write_changelog(ev, out)
+print("GEN_DONE")
+"""
+
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from cassandra_data_migrator_spark.config import EngineConfig
 from cassandra_data_migrator_spark.session import get_spark
-from cassandra_data_migrator_spark.sources import changelog as wal
 from cassandra_data_migrator_spark.jobs import ingest
 from cassandra_data_migrator_spark.sources.lake import LakeTable
 
-cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
+cpus, n_events, epoch_size, wal_path = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
-                  shuffle_partitions=cpus)
-epoch_size = max(20_000, n_events // 16)
-# identical input: generator is deterministic in (n_events, knobs);
-# slices fixed so the data is IDENTICAL at both parallelism levels
-ev = wal.changelog(spark, n_events, epoch_size=epoch_size,
-                   num_partitions=32, slices=64).persist()
-ev.count()
+                  shuffle_partitions=max(cpus, 32))
+ev = spark.read.parquet(wal_path)
 wd = tempfile.mkdtemp(prefix="cdm_scal_")
+# warm-up replay (first two epochs, separate lake) absorbs one-time
+# JVM/codegen costs so both levels are measured at steady state
+warm = EngineConfig.from_dict(dict(lake_path=wd + "/warm_lake",
+                                   epoch_size=epoch_size,
+                                   num_partitions=32, num_buckets=64))
+ingest(spark, warm, changelog_df=ev.where("batch_epoch < 2"), mode="mor")
 cfg = EngineConfig.from_dict(dict(lake_path=wd + "/lake",
                                   lineage_path=wd + "/lineage",
                                   epoch_size=epoch_size,
-                                  num_partitions=32, num_buckets=32))
-# warm-up replay (separate lake) absorbs one-time JVM/codegen costs so
-# both parallelism levels are measured at steady state
-warm = EngineConfig.from_dict(dict(lake_path=wd + "/warm_lake",
-                                   epoch_size=epoch_size,
-                                   num_partitions=32, num_buckets=32))
-ingest(spark, warm, changelog_df=ev.where("batch_epoch < 2"), mode="mor")
+                                  num_partitions=32, num_buckets=64))
 t0 = time.time()
 ingest(spark, cfg, changelog_df=ev, mode="mor", compact_every=8)
 dt = time.time() - t0
@@ -60,36 +78,50 @@ print("SCALING_RESULT " + json.dumps(
 """
 
 
-def run_level(cpus: int, events: int) -> dict:
-    script = CHILD.format(repo=REPO)
+def _run(script: str, args: list[str], timeout: int = 3000) -> str:
     proc = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(events)],
+        [sys.executable, "-c", script, *args],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=timeout,
         cwd=REPO,
     )
-    for line in proc.stdout.splitlines():
+    return proc.stdout + "\n<<stderr>>\n" + proc.stderr
+
+
+def run_level(cpus: int, events: int, epoch_size: int, wal_path: str) -> dict:
+    out = _run(CHILD.format(repo=REPO), [str(cpus), str(events), str(epoch_size), wal_path])
+    for line in out.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line.split(" ", 1)[1])
-    raise RuntimeError(
-        f"no result from local[{cpus}]:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
-    )
+    raise RuntimeError(f"no result from local[{cpus}]:\n{out[-3000:]}")
 
 
 def main() -> int:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    events = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
+    epoch_size = int(sys.argv[3]) if len(sys.argv) > 3 else max(events // 8, 1)
     n_high = n_low * 4
-    low = run_level(n_low, events)
-    high = run_level(n_high, events)
-    eff = (high["events_per_sec"] / low["events_per_sec"]) / 4.0
+    import tempfile
+
+    wal_path = tempfile.mkdtemp(prefix="cdm_scaling_wal_") + "/wal"
+    gen_out = _run(GEN.format(repo=REPO), [str(events), str(epoch_size), wal_path])
+    if "GEN_DONE" not in gen_out:
+        raise RuntimeError(f"generation failed:\n{gen_out[-3000:]}")
+
+    low = run_level(n_low, events, epoch_size, wal_path)
+    high = run_level(n_high, events, epoch_size, wal_path)
+    import shutil
+
+    shutil.rmtree(os.path.dirname(wal_path), ignore_errors=True)
+    eff = (high["events_per_sec"] / low["events_per_sec"]) / (n_high / n_low)
     out = {
         "low": low,
         "high": high,
         "scaling_efficiency": round(eff, 3),
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
+        "epoch_size": epoch_size,
         "generated_unix": time.time(),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -99,8 +131,8 @@ def main() -> int:
 
 North-rule criterion: throughput scaling efficiency >= 0.8 going from N
 to 4N executors. No real cluster exists in this sandbox, so (per
-BASELINE.md) the identical CDC replay runs on the same deterministic
-input at two local parallelism levels; efficiency =
+BASELINE.md) the identical CDC replay runs on the same pre-materialized
+parquet WAL at two local parallelism levels; efficiency =
 (throughput_4N / throughput_N) / 4.
 
 | level | cores | wall s | events | events/s |
@@ -111,10 +143,12 @@ input at two local parallelism levels; efficiency =
 **Scaling efficiency: {out['scaling_efficiency']}** ({'PASS' if out['pass'] else 'FAIL'} vs >= 0.8)
 
 Workload: {events:,} change events (Zipf-skewed urls, ~1% deletes,
-mid-stream schema evolution), 16 micro-batch epochs, merge-on-read lake
-commits with periodic compaction, final-state row count
-{high['final_rows']:,} (identical at both levels). Input is generated
-with fixed slicing (64) so both levels replay byte-identical events.
+mid-stream schema evolution), {epoch_size:,}-event micro-batch epochs
+(the 10^10-regime shape: per-epoch work dwarfs per-epoch fixed cost),
+merge-on-read lake commits with periodic compaction; final-state row
+count {high['final_rows']:,} identical at both levels. Timed portion =
+LWW dedup + idempotent commits + compaction; WAL generation excluded
+(materialized once, replayed byte-identically by both levels).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
