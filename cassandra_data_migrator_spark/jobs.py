@@ -222,7 +222,7 @@ def validate(
     )
     if do_correct and (jc.get("MISSING") or jc.get("MISMATCH")):
         fix = corrections(d, cfg.key_col)
-        lake.merge_cow(fix, [f"autocorrect:{cfg.run_id}"])
+        lake.merge_cow(fix, [f"autocorrect:{cfg.run_id}"], force=True)
         jc.add("CORRECTED_MISSING", jc.get("MISSING"))
         jc.add("CORRECTED_MISMATCH", jc.get("MISMATCH"))
 

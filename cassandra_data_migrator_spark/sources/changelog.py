@@ -56,6 +56,7 @@ def changelog(
     evolution_frac: float = 0.6,
     alpha: float = 1.1,
     slices: int | None = None,
+    payload_repeat: int = 1,
 ) -> DataFrame:
     """Build the WAL as a DataFrame of ``n_events`` change events.
 
@@ -92,8 +93,12 @@ def changelog(
     partition = F.pmod(F.xxhash64(url), F.lit(num_partitions)).cast("int")
 
     # page text: pure function of (url, warc_ts, seq) => the verify fold can
-    # recompute the expected winning text independently
+    # recompute the expected winning text independently. payload_repeat
+    # scales the page toward realistic Common-Crawl sizes (KBs) — still
+    # fully deterministic.
     body = F.md5(F.concat_ws("|", url, warc_ts.cast("string"), seq.cast("string")))
+    if payload_repeat > 1:
+        body = F.repeat(F.concat(body, F.lit(" ")), payload_repeat)
     text = F.concat(F.lit("text "), url, F.lit(" rev "), body)
     html = F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8")
 

@@ -212,19 +212,25 @@ class LakeTable:
                     )
         return by_bucket
 
+    PRECEDENCE_COL = "_prec"
+
     def _lww_resolve(self, df: DataFrame, mf: Manifest) -> DataFrame:
-        """Keep, per key, the row with the largest (ts, seq).
+        """Keep, per key, the row with the largest (ts, seq[, precedence]).
 
         Largest-writetime-wins with seq tie-break — the reference's row
         timestamp semantics (``PKFactory.java:114-125``,
         ``WritetimeTTL.java:235-258``; tie-break analog of
-        ``writetimeIncrement`` ``WritetimeTTL.java:244``).
+        ``writetimeIncrement`` ``WritetimeTTL.java:244``). An optional
+        precedence column (added by force-merges) breaks exact (ts, seq)
+        ties in favor of the incoming batch, the autocorrect-overwrite
+        case.
         """
-        cols = [c for c in df.columns if c != BUCKET_COL]
+        cols = [c for c in df.columns if c not in (BUCKET_COL, self.PRECEDENCE_COL)]
         payload = F.struct(*[F.col(c) for c in cols])
-        winner = F.max_by(
-            payload, F.struct(F.col(mf.ts_col), F.col(mf.seq_col))
-        ).alias("_w")
+        order_cols = [F.col(mf.ts_col), F.col(mf.seq_col)]
+        if self.PRECEDENCE_COL in df.columns:
+            order_cols.append(F.col(self.PRECEDENCE_COL))
+        winner = F.max_by(payload, F.struct(*order_cols)).alias("_w")
         return df.groupBy(mf.key_col).agg(winner).select("_w.*")
 
     def _evolve_schema(self, mf: Manifest, batch: DataFrame) -> Manifest:
@@ -249,7 +255,9 @@ class LakeTable:
         return df.select(*cols)
 
     # ------------------------------------------------------------- merge (CoW)
-    def merge_cow(self, batch: DataFrame, commit_keys: list[str] | str) -> CommitResult:
+    def merge_cow(
+        self, batch: DataFrame, commit_keys: list[str] | str, force: bool = False
+    ) -> CommitResult:
         """LWW-upsert a (pre-deduplicated) batch; rewrite affected buckets.
 
         Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
@@ -276,10 +284,73 @@ class LakeTable:
         existing = self._read_files(
             mf, self._files(mf, affected, "base") + self._files(mf, affected, "deltas")
         ).withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
+        if force:
+            # batch wins exact (ts, seq) ties — autocorrect overwrite
+            # (writetimeIncrement analog, WritetimeTTL.java:244)
+            existing = existing.withColumn(self.PRECEDENCE_COL, F.lit(0))
+            batch = batch.withColumn(self.PRECEDENCE_COL, F.lit(1))
         merged = self._lww_resolve(
             existing.unionByName(batch, allowMissingColumns=True), mf
         )
         new_files = self._write_data(merged, mf)
+        mf.version = parent + 1
+        for b in affected:
+            mf.base[str(b)] = new_files.get(str(b), [])
+            mf.deltas.pop(str(b), None)
+        mf.applied.extend(k for k in keys if k not in mf.applied)
+        self._swap(mf, expected_parent=parent)
+        return CommitResult(True, mf.version, buckets_rewritten=len(affected))
+
+    # ------------------------------------------------------------- counter merge
+    def merge_counter(
+        self,
+        batch: DataFrame,
+        commit_keys: list[str] | str,
+        counter_cols: list[str],
+    ) -> CommitResult:
+        """Delta-merge for counter columns: new = existing + sum(deltas).
+
+        The reference's counter-table path binds origin-target deltas so
+        counters converge under replay (``TargetUpdateStatement.java:
+        69-76``, ``CopyJobSession.java:188-197``). Here the WAL carries
+        deltas; idempotent commit keys guarantee each delta is summed
+        exactly once, so the counter is exact even across retries.
+        Non-counter columns resolve LWW as usual.
+        """
+        keys = [commit_keys] if isinstance(commit_keys, str) else list(commit_keys)
+        mf = self.manifest()
+        if all(k in mf.applied for k in keys):
+            return CommitResult(False, mf.version, skipped_keys=keys)
+        parent = mf.version
+        mf = self._evolve_schema(mf, batch)
+        schema = mf.schema()
+        batch = self._align(batch, schema).withColumn(
+            BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
+        )
+        affected = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
+        if any(mf.deltas.get(str(b)) for b in affected):
+            # counter tables are CoW-only: MoR delta files hold unresolved
+            # row versions whose counter values would double-sum
+            raise ValueError("merge_counter cannot run on buckets with MoR deltas")
+        existing = self._read_files(
+            mf, self._files(mf, affected, "base")
+        ).withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
+        both = existing.unionByName(batch, allowMissingColumns=True)
+        other_cols = [
+            c for c in both.columns
+            if c not in counter_cols and c not in (mf.key_col, BUCKET_COL)
+        ]
+        payload = F.struct(*[F.col(c) for c in other_cols])
+        order = F.struct(F.col(mf.ts_col), F.col(mf.seq_col))
+        merged = (
+            both.groupBy(mf.key_col)
+            .agg(
+                F.max_by(payload, order).alias("_w"),
+                *[F.sum(c).alias(c) for c in counter_cols],
+            )
+            .select(mf.key_col, *counter_cols, "_w.*")
+        )
+        new_files = self._write_data(self._align(merged, schema), mf)
         mf.version = parent + 1
         for b in affected:
             mf.base[str(b)] = new_files.get(str(b), [])
@@ -355,7 +426,8 @@ class LakeTable:
         else:
             df = base
         if not include_tombstones and mf.op_col in df.columns:
-            df = df.where(F.col(mf.op_col) != F.lit("D"))
+            # null op (e.g. correction rows) is live, not a tombstone
+            df = df.where(~F.col(mf.op_col).eqNullSafe(F.lit("D")))
         return df
 
     def applied_keys(self) -> set[str]:

@@ -83,13 +83,14 @@ def test_coverage_filter_reduces(spark):
     assert 0.1 < frac < 0.3
 
 
-def test_salted_lww_equals_plain(spark):
+def test_salted_and_skinny_lww_equal_plain(spark):
     df = spark.createDataFrame(
         [(f"u{i % 7}", i % 13, i) for i in range(500)], "url string, warc_ts long, seq long"
     ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
     a = lww.lww_dedup(df).orderBy("url").collect()
     b = lww.lww_dedup_salted(df, salt_buckets=4).orderBy("url").collect()
-    assert a == b
+    c = lww.lww_dedup_skinny(df).orderBy("url").collect()
+    assert a == b == c
 
 
 def test_guardrail_counters(spark):
