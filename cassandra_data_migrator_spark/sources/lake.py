@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "_bucket"
+GLOBAL_DELTA = "__global__"
 MANIFEST_DIR = "_manifests"
 CURRENT_FILE = "CURRENT"
 
@@ -174,7 +175,14 @@ class LakeTable:
     # ------------------------------------------------------------- helpers
     def _files(self, mf: Manifest, buckets: list[int] | None, which: str) -> list[str]:
         store: dict[str, list[str]] = getattr(mf, which)
-        keys = [str(b) for b in buckets] if buckets is not None else list(store)
+        if buckets is None:
+            keys = list(store)
+        else:
+            keys = [str(b) for b in buckets]
+            # global (unbucketed) delta files may hold any key — always in
+            # scope when reading a bucket subset
+            if which == "deltas" and GLOBAL_DELTA in store:
+                keys.append(GLOBAL_DELTA)
         out: list[str] = []
         for k in keys:
             out.extend(os.path.join(self.path, p) for p in store.get(k, []))
@@ -187,13 +195,28 @@ class LakeTable:
         # explicit schema => old files yield null for columns added later
         return self.spark.read.schema(schema).parquet(*files)
 
-    def _write_data(self, df: DataFrame, mf: Manifest) -> dict[str, list[str]]:
-        """Write df (bucketed) under data/c-<uuid>/; return bucket->relative files."""
+    def _write_data(
+        self, df: DataFrame, mf: Manifest, bucketed: bool = True
+    ) -> dict[str, list[str]]:
+        """Write df under data/c-<uuid>/; return bucket->relative files.
+
+        ``bucketed=True``: one shuffle partition per bucket => one data
+        file per (bucket, commit). ``bucketed=False``: write as-is (AQE
+        has already sized the partitions) under the GLOBAL_DELTA slot —
+        the cheap path for small MoR delta batches, which would
+        otherwise pay a num_buckets-way shuffle + num_buckets tiny files
+        per commit.
+        """
         commit_dir = f"data/c-{uuid.uuid4().hex}"
         out = os.path.join(self.path, commit_dir)
-        # exactly one shuffle partition per bucket => one data file per
-        # (bucket, commit); without the explicit N, partitionBy would fan
-        # out to tasks×buckets tiny files
+        if not bucketed:
+            df.write.parquet(out)
+            files = [
+                os.path.join(commit_dir, fn)
+                for fn in os.listdir(out)
+                if fn.endswith(".parquet")
+            ]
+            return {GLOBAL_DELTA: files}
         (
             df.withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
             .repartition(mf.num_buckets, BUCKET_COL)
@@ -272,6 +295,11 @@ class LakeTable:
         mf = self.manifest()
         if all(k in mf.applied for k in keys):
             return CommitResult(False, mf.version, skipped_keys=keys)
+        if mf.deltas.get(GLOBAL_DELTA):
+            # global delta files may hold keys outside the affected
+            # buckets; fold them into the base before a bucket-scoped CoW
+            self.compact()
+            mf = self.manifest()
         parent = mf.version
         mf = self._evolve_schema(mf, batch)
         schema = mf.schema()
@@ -328,7 +356,7 @@ class LakeTable:
             BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
         )
         affected = sorted(r[0] for r in batch.select(BUCKET_COL).distinct().collect())
-        if any(mf.deltas.get(str(b)) for b in affected):
+        if mf.deltas.get(GLOBAL_DELTA) or any(mf.deltas.get(str(b)) for b in affected):
             # counter tables are CoW-only: MoR delta files hold unresolved
             # row versions whose counter values would double-sum
             raise ValueError("merge_counter cannot run on buckets with MoR deltas")
@@ -374,7 +402,7 @@ class LakeTable:
         parent = mf.version
         mf = self._evolve_schema(mf, batch)
         batch = self._align(batch, mf.schema())
-        new_files = self._write_data(batch, mf)
+        new_files = self._write_data(batch, mf, bucketed=False)
         mf.version = parent + 1
         for b, files in new_files.items():
             mf.deltas.setdefault(b, []).extend(files)
@@ -386,10 +414,17 @@ class LakeTable:
         """Fold MoR deltas into the base for the given (or all) buckets."""
         mf = self.manifest()
         parent = mf.version
-        with_deltas = sorted(int(b) for b in mf.deltas if mf.deltas[b])
-        if buckets is not None:
+        has_global = bool(mf.deltas.get(GLOBAL_DELTA))
+        with_deltas = sorted(
+            int(b) for b in mf.deltas if b != GLOBAL_DELTA and mf.deltas[b]
+        )
+        if buckets is not None and not has_global:
             with_deltas = [b for b in with_deltas if b in buckets]
-        if not with_deltas:
+        if has_global:
+            # global deltas may hold any key: fold over every bucket that
+            # has base data too
+            with_deltas = sorted(set(with_deltas) | {int(b) for b in mf.base})
+        if not with_deltas and not has_global:
             return CommitResult(False, mf.version)
         df = self._read_files(
             mf,
@@ -398,11 +433,13 @@ class LakeTable:
         resolved = self._lww_resolve(df, mf)
         new_files = self._write_data(resolved, mf)
         mf.version = parent + 1
-        for b in with_deltas:
+        rewritten = sorted(set(with_deltas) | {int(b) for b in new_files})
+        for b in rewritten:
             mf.base[str(b)] = new_files.get(str(b), [])
             mf.deltas.pop(str(b), None)
+        mf.deltas.pop(GLOBAL_DELTA, None)
         self._swap(mf, expected_parent=parent)
-        return CommitResult(True, mf.version, buckets_rewritten=len(with_deltas))
+        return CommitResult(True, mf.version, buckets_rewritten=len(rewritten))
 
     # ------------------------------------------------------------- read
     def read(

@@ -17,7 +17,7 @@ Epoch sizing mirrors the 10^10-event regime (10^7 events per epoch):
 per-epoch work must dwarf per-epoch fixed costs for added cores to
 matter, exactly as on a real cluster.
 
-Usage: python tools/bench_scaling.py [n_low] [events] [epoch_size] [payload_repeat]
+Usage: python tools/bench_scaling.py [n_low] [events] [epoch_size] [payload_repeat] [existing_wal_path]
 """
 
 from __future__ import annotations
@@ -59,9 +59,11 @@ from cassandra_data_migrator_spark.sources.lake import LakeTable
 cpus, n_events, epoch_size, wal_path = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
 spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
-                  shuffle_partitions=max(cpus, 32))
+                  shuffle_partitions=max(cpus, 32),
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m",
+                              "spark.driver.memory": "48g"}})
 ev = spark.read.parquet(wal_path)
-wd = tempfile.mkdtemp(prefix="cdm_scal_")
+wd = tempfile.mkdtemp(prefix="cdm_scal_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 # warm-up replay (first two epochs, separate lake) absorbs one-time
 # JVM/codegen costs so both levels are measured at steady state
 warm = EngineConfig.from_dict(dict(lake_path=wd + "/warm_lake",
@@ -110,24 +112,29 @@ def run_level(cpus: int, events: int, epoch_size: int, wal_path: str) -> dict:
 
 
 def main() -> int:
-    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    events = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    events = int(sys.argv[2]) if len(sys.argv) > 2 else 128_000_000
     epoch_size = int(sys.argv[3]) if len(sys.argv) > 3 else max(events // 8, 1)
     n_high = n_low * 4
     import tempfile
 
-    payload_repeat = int(sys.argv[4]) if len(sys.argv) > 4 else 16
-    wal_path = tempfile.mkdtemp(prefix="cdm_scaling_wal_") + "/wal"
-    gen_out = _run(GEN.format(repo=REPO),
-                   [str(events), str(epoch_size), wal_path, str(payload_repeat)])
-    if "GEN_DONE" not in gen_out:
-        raise RuntimeError(f"generation failed:\n{gen_out[-3000:]}")
+    payload_repeat = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    existing_wal = sys.argv[5] if len(sys.argv) > 5 else None
+    if existing_wal:
+        wal_path = existing_wal
+    else:
+        wal_path = tempfile.mkdtemp(prefix="cdm_scaling_wal_") + "/wal"
+        gen_out = _run(GEN.format(repo=REPO),
+                       [str(events), str(epoch_size), wal_path, str(payload_repeat)])
+        if "GEN_DONE" not in gen_out:
+            raise RuntimeError(f"generation failed:\n{gen_out[-3000:]}")
 
     low = run_level(n_low, events, epoch_size, wal_path)
     high = run_level(n_high, events, epoch_size, wal_path)
     import shutil
 
-    shutil.rmtree(os.path.dirname(wal_path), ignore_errors=True)
+    if not existing_wal:
+        shutil.rmtree(os.path.dirname(wal_path), ignore_errors=True)
     eff = (high["events_per_sec"] / low["events_per_sec"]) / (n_high / n_low)
     out = {
         "low": low,
