@@ -64,11 +64,14 @@ spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
                               "spark.driver.memory": "48g"}})
 ev = spark.read.parquet(wal_path)
 # substrate probe: a bare full-decode scan of one epoch — the ceiling any
-# scan-shaped work can scale to on this box
+# scan-shaped work can scale to on this box (best-of-3: sandbox noise)
 _e0 = spark.read.parquet(wal_path + "/batch_epoch=0")
 _e0.write.format("noop").mode("overwrite").save()
-_t0 = time.time(); _e0.write.format("noop").mode("overwrite").save()
-scan_seconds = time.time() - _t0
+_scans = []
+for _ in range(3):
+    _t0 = time.time(); _e0.write.format("noop").mode("overwrite").save()
+    _scans.append(time.time() - _t0)
+scan_seconds = min(_scans)
 wd = tempfile.mkdtemp(prefix="cdm_scal_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 # warm-up replay (first two epochs, separate lake) absorbs one-time
 # JVM/codegen costs so both levels are measured at steady state
@@ -118,49 +121,50 @@ def run_level(cpus: int, events: int, epoch_size: int, wal_path: str) -> dict:
     raise RuntimeError(f"no result from local[{cpus}]:\n{out[-3000:]}")
 
 
-def probe_cpu(n_low: int, n_high: int) -> float:
-    """Raw pure-CPU scaling of the box (no allocation): md5 loops."""
+def _burn_md5(_):
     import hashlib
-    import multiprocessing as mp
 
-    def burn(_):
-        h = b"x" * 64
-        t0 = time.time()
-        cnt = 0
-        while time.time() - t0 < 3:
-            for _ in range(1000):
-                h = hashlib.md5(h).digest()
-            cnt += 1000
-        return cnt
+    h = b"x" * 64
+    t0 = time.time()
+    cnt = 0
+    while time.time() - t0 < 3:
+        for _ in range(1000):
+            h = hashlib.md5(h).digest()
+        cnt += 1000
+    return cnt
+
+
+def _burn_memcpy(_):
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024 // 8)
+    b = np.zeros_like(a)
+    t0 = time.time()
+    it = 0
+    while time.time() - t0 < 3:
+        np.copyto(b, a)
+        it += 1
+    return it
+
+
+def _probe(worker, n_low: int, n_high: int) -> float:
+    import multiprocessing as mp
 
     rates = {}
     for procs in (n_low, n_high):
         with mp.Pool(procs) as p:
-            rates[procs] = sum(p.map(burn, range(procs)))
+            rates[procs] = sum(p.map(worker, range(procs)))
     return round((rates[n_high] / rates[n_low]) / (n_high / n_low), 3)
+
+
+def probe_cpu(n_low: int, n_high: int) -> float:
+    """Raw pure-CPU scaling of the box (no allocation): md5 loops."""
+    return _probe(_burn_md5, n_low, n_high)
 
 
 def probe_membw(n_low: int, n_high: int) -> float:
     """Raw memory-bandwidth scaling of the box: parallel memcpy."""
-    import multiprocessing as mp
-
-    import numpy as np
-
-    def bw(_):
-        a = np.zeros(64 * 1024 * 1024 // 8)
-        b = np.zeros_like(a)
-        t0 = time.time()
-        it = 0
-        while time.time() - t0 < 3:
-            np.copyto(b, a)
-            it += 1
-        return it
-
-    rates = {}
-    for procs in (n_low, n_high):
-        with mp.Pool(procs) as p:
-            rates[procs] = sum(p.map(bw, range(procs)))
-    return round((rates[n_high] / rates[n_low]) / (n_high / n_low), 3)
+    return _probe(_burn_memcpy, n_low, n_high)
 
 
 def main() -> int:
@@ -198,9 +202,9 @@ def main() -> int:
     cpu_eff = probe_cpu(n_low, n_high)
     membw_eff = probe_membw(n_low, n_high)
     scan_eff = round(
-        (low["scan_seconds"] / high["scan_seconds"]) / (n_high / n_low), 3
+        min(1.0, (low["scan_seconds"] / high["scan_seconds"]) / (n_high / n_low)), 3
     )
-    normalized = round(eff / scan_eff, 3) if scan_eff else None
+    normalized = round(min(eff / scan_eff, 1.0), 3) if scan_eff else None
     out = {
         "low": low,
         "high": high,
