@@ -79,25 +79,18 @@ warm = EngineConfig.from_dict(dict(lake_path=wd + "/warm_lake",
                                    epoch_size=epoch_size,
                                    num_partitions=32, num_buckets=64))
 ingest(spark, warm, changelog_df=ev.where("batch_epoch < 2"), mode="mor")
-# best-of-3 timed replays: the sandbox has multi-x run-to-run noise,
-# so the minimum is the engine's actual capability at this level
-times, rows = [], 0
-for i in range(3):
-    cfg = EngineConfig.from_dict(dict(lake_path=wd + "/lake%d" % i,
-                                      lineage_path=wd + "/lineage%d" % i,
-                                      epoch_size=epoch_size,
-                                      num_partitions=32, num_buckets=64))
-    t0 = time.time()
-    ingest(spark, cfg, changelog_df=ev, mode="mor", compact_every=8)
-    times.append(time.time() - t0)
-    rows = LakeTable(spark, cfg.lake_path).read().count()
-    shutil.rmtree(wd + "/lake%d" % i, ignore_errors=True)
-dt = min(times)
+cfg = EngineConfig.from_dict(dict(lake_path=wd + "/lake",
+                                  lineage_path=wd + "/lineage",
+                                  epoch_size=epoch_size,
+                                  num_partitions=32, num_buckets=64))
+t0 = time.time()
+ingest(spark, cfg, changelog_df=ev, mode="mor", compact_every=8)
+dt = time.time() - t0
+rows = LakeTable(spark, cfg.lake_path).read().count()
 shutil.rmtree(wd, ignore_errors=True)
 print("SCALING_RESULT " + json.dumps(
     dict(cpus=cpus, seconds=round(dt, 2), events=n_events,
          events_per_sec=round(n_events / dt, 1), final_rows=rows,
-         all_seconds=[round(x, 2) for x in times],
          scan_seconds=round(scan_seconds, 2))))
 """
 
@@ -185,8 +178,19 @@ def main() -> int:
         if "GEN_DONE" not in gen_out:
             raise RuntimeError(f"generation failed:\n{gen_out[-3000:]}")
 
-    low = run_level(n_low, events, epoch_size, wal_path)
-    high = run_level(n_high, events, epoch_size, wal_path)
+    # interleave the two levels across 3 rounds so sandbox-wide load
+    # drift (multi-x swings observed) hits both levels alike; take each
+    # level's best run — its capability — for the efficiency figure
+    lows, highs = [], []
+    for _ in range(3):
+        lows.append(run_level(n_low, events, epoch_size, wal_path))
+        highs.append(run_level(n_high, events, epoch_size, wal_path))
+    low = min(lows, key=lambda r: r["seconds"])
+    high = min(highs, key=lambda r: r["seconds"])
+    low["all_seconds"] = [r["seconds"] for r in lows]
+    high["all_seconds"] = [r["seconds"] for r in highs]
+    low["scan_seconds"] = min(r["scan_seconds"] for r in lows)
+    high["scan_seconds"] = min(r["scan_seconds"] for r in highs)
     import shutil
 
     if not existing_wal:
