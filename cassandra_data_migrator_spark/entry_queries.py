@@ -182,7 +182,7 @@ def q_guardrail_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: rows whose text exceeds the size guardrail, with sizes."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("n_bytes", F.octet_length("text"))
+        docs.withColumn("n_bytes", F.octet_length("text").cast("long"))
         .where(F.col("n_bytes") > 450)
         .select("doc_id", "n_bytes")
     )
@@ -206,8 +206,8 @@ def q_guardrail_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GUARDRAIL_COUNTS = """
 SELECT COUNT(*) AS read_cnt,
-  SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 1 ELSE 0 END) AS large_cnt,
-  SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 0 ELSE 1 END) AS valid_cnt
+  CAST(SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 1 ELSE 0 END) AS BIGINT) AS large_cnt,
+  CAST(SUM(CASE WHEN octet_length(encode(text)) > 450 THEN 0 ELSE 1 END) AS BIGINT) AS valid_cnt
 FROM documents
 """
 
@@ -406,7 +406,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SESSIONIZE = """
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
   SELECT user_id,
     CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
               > 1800000
@@ -668,7 +668,7 @@ WITH toks AS (
   FROM h, range(32) r(b)
 )
 SELECT doc_id,
-  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -828,7 +828,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
-  SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS total_subwords
+  CAST(SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS total_subwords
 FROM documents GROUP BY lang
 """
 

@@ -197,7 +197,9 @@ def expected_state(
         ).drop("_large_cols")
     folded = lww_dedup(ev.drop("partition", "batch_epoch"), cfg.key_col, cfg.ts_col, cfg.seq_col)
     if not include_tombstones:
-        folded = folded.where(F.col(cfg.op_col) != F.lit("D"))
+        # null-safe: NULL-op rows (e.g. corrections) are live, matching
+        # LakeTable.read — asymmetric filters here would report phantom diffs
+        folded = folded.where(~F.col(cfg.op_col).eqNullSafe(F.lit("D")))
     return folded
 
 
@@ -228,10 +230,18 @@ def validate(
         cfg.autocorrect_missing or cfg.autocorrect_mismatch
     )
     if do_correct and (jc.get("MISSING") or jc.get("MISMATCH")):
+        import uuid as _uuid
+
         fix = corrections(d, cfg.key_col)
-        lake.merge_cow(fix, [f"autocorrect:{cfg.run_id}"], force=True)
-        jc.add("CORRECTED_MISSING", jc.get("MISSING"))
-        jc.add("CORRECTED_MISMATCH", jc.get("MISMATCH"))
+        # unique key per invocation: LWW corrections are naturally
+        # idempotent, so a repeat validate --autocorrect must re-apply
+        # (a fixed key would silently no-op yet still report healing)
+        res = lake.merge_cow(
+            fix, [f"autocorrect:{cfg.run_id}:{_uuid.uuid4().hex}"], force=True
+        )
+        if res.committed:
+            jc.add("CORRECTED_MISSING", jc.get("MISSING"))
+            jc.add("CORRECTED_MISMATCH", jc.get("MISMATCH"))
 
     if lin and cfg.track_run:
         status = "PASS" if not (jc.get("MISSING") or jc.get("MISMATCH")) else (

@@ -81,8 +81,8 @@ def quality_score(df: DataFrame, col: str) -> DataFrame:
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.3)
     )
     return (
-        df.withColumn("n_chars_q", n_chars)
-        .withColumn("n_tokens_q", n_toks)
+        df.withColumn("n_chars_q", n_chars.cast("long"))
+        .withColumn("n_tokens_q", n_toks.cast("long"))
         .withColumn("avg_token_len", avg_tok_len)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("punct_ratio", punct_ratio)

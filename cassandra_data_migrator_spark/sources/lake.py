@@ -116,9 +116,20 @@ class LakeTable:
     def _swap(self, mf: Manifest, expected_parent: int) -> None:
         """Atomically publish a new manifest version.
 
-        Single-writer optimistic check: the parent version on disk must
-        still be ``expected_parent`` (CDM likewise assumes one run at a
-        time per table, enforced via run_id in cdm_run_info).
+        Two-layer concurrency guard (CDM likewise assumes one run at a
+        time per table, enforced via run_id in cdm_run_info):
+
+        1. optimistic read check — the parent version on disk must still
+           be ``expected_parent``;
+        2. the version file itself is created with ``O_CREAT|O_EXCL`` —
+           if two writers race past check 1, exactly one wins the create
+           and the other fails loudly instead of silently discarding the
+           winner's data files and applied keys.
+
+        A writer that crashed between creating ``v{N}.json`` and swapping
+        CURRENT leaves an orphan version file; its data was never
+        published, so the next commit fails here with a message naming
+        the orphan to delete.
         """
         cur = os.path.join(self._mdir, CURRENT_FILE)
         if os.path.exists(cur):
@@ -130,12 +141,18 @@ class LakeTable:
                 )
         os.makedirs(self._mdir, exist_ok=True)
         mpath = os.path.join(self._mdir, f"v{mf.version:08d}.json")
-        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected: manifest {mpath} already exists "
+                "(another writer, or an orphan from a crashed commit — "
+                "delete it to recover if no other writer is active)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             f.write(mf.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, mpath)
         ctmp = cur + f".tmp.{uuid.uuid4().hex}"
         with open(ctmp, "w") as f:
             f.write(str(mf.version))
@@ -344,11 +361,24 @@ class LakeTable:
         deltas; idempotent commit keys guarantee each delta is summed
         exactly once, so the counter is exact even across retries.
         Non-counter columns resolve LWW as usual.
+
+        Unlike ``merge_cow`` (LWW, idempotent under re-application),
+        re-summing a counter delta is NEVER safe — a batch whose keys
+        partially overlap the applied set would double-count the
+        already-applied partitions' deltas, so partial overlap raises
+        instead of relying on a caller pre-filter contract.
         """
         keys = [commit_keys] if isinstance(commit_keys, str) else list(commit_keys)
         mf = self.manifest()
-        if all(k in mf.applied for k in keys):
+        overlap = [k for k in keys if k in mf.applied]
+        if len(overlap) == len(keys):
             return CommitResult(False, mf.version, skipped_keys=keys)
+        if overlap:
+            raise ValueError(
+                f"merge_counter: commit keys partially applied ({overlap}); "
+                "re-summing applied counter deltas would double-count — "
+                "re-drive with the batch filtered to unapplied keys only"
+            )
         parent = mf.version
         mf = self._evolve_schema(mf, batch)
         schema = mf.schema()

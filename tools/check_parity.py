@@ -20,6 +20,53 @@ from cassandra_data_migrator_spark.entry_queries import ORACLES, QUERIES, TABLES
 from cassandra_data_migrator_spark.session import get_spark  # noqa: E402
 
 
+def canon_spark_type(dt: str) -> str:
+    """Spark simpleString dtype -> engine-neutral canonical type."""
+    dt = dt.strip().lower()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"list<{canon_spark_type(dt[6:-1])}>"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    return {
+        "bigint": "i64", "long": "i64", "int": "i32", "integer": "i32",
+        "smallint": "i16", "tinyint": "i8", "double": "f64", "float": "f32",
+        "string": "str", "boolean": "bool", "date": "date",
+        "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bytes",
+    }.get(dt, dt)
+
+
+def canon_duck_type(dt: str) -> str:
+    """DuckDB type string -> engine-neutral canonical type. HUGEINT has
+    no Spark analog on purpose: it canonicalizes to 'i128' so any oracle
+    SUM() left uncast fails the type gate (the driver's value-hash is
+    type-sensitive — see VERDICT r1 'What's wrong' #1)."""
+    dt = dt.strip().upper()
+    if dt.endswith("[]"):
+        return f"list<{canon_duck_type(dt[:-2])}>"
+    if dt.startswith("DECIMAL"):
+        return dt.replace(" ", "").lower()
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    return {
+        "BIGINT": "i64", "INT64": "i64", "HUGEINT": "i128", "UHUGEINT": "u128",
+        "INTEGER": "i32", "INT32": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+        "UBIGINT": "u64", "UINTEGER": "u32", "DOUBLE": "f64",
+        "FLOAT": "f32", "REAL": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+        "DATE": "date", "BLOB": "bytes",
+    }.get(dt, dt.lower())
+
+
+def type_mismatches(s_cols, s_dtypes, d_cols, d_types):
+    """Per-column canonical-type compare (by column name)."""
+    s_map = {c: canon_spark_type(t) for c, t in zip(s_cols, s_dtypes)}
+    d_map = {c: canon_duck_type(str(t)) for c, t in zip(d_cols, d_types)}
+    return [
+        (c, s_map[c], d_map[c])
+        for c in sorted(set(s_map) & set(d_map))
+        if s_map[c] != d_map[c]
+    ]
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -75,6 +122,13 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL  {name:24s} columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            continue
+        bad_types = type_mismatches(
+            s_cols, [t for _, t in sdf.dtypes], d_cols, rel.types
+        )
+        if bad_types:
+            failures.append(name)
+            print(f"FAIL  {name:24s} types differ: {bad_types}")
             continue
         if len(s_rows) != len(d_rows):
             failures.append(name)
