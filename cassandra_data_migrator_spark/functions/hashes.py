@@ -67,6 +67,35 @@ def portable_hash_sql(expr: str) -> str:
     )
 
 
+def portable_hash_py(s: str) -> int:
+    """The same polynomial hash, evaluated in Python (for deriving
+    data-independent constants that get embedded as literals in both the
+    Spark plan and the generated oracle SQL)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % P_MOD
+    return h
+
+
+def hyperplane_signs(dims: int, planes: int) -> list[list[float]]:
+    """±1.0 sign matrix for pseudo-random LSH hyperplanes.
+
+    Component (p, d) is derived from ``portable_hash_py('plane-p:d')``,
+    so any engine re-derives the identical hyperplanes — the buckets are
+    exactly reproducible by the DuckDB oracle (the signs are embedded as
+    literal arrays in the generated SQL, like the minhash coefficients).
+
+    Bit 16 of the hash (not the parity bit): with an odd multiplier the
+    polynomial hash's low bit is just the parity of the codepoint sum,
+    which made every plane exactly ± the same hyperplane.
+    """
+    return [
+        [1.0 if (portable_hash_py(f"plane-{p}:{d}") >> 16) % 2 == 1 else -1.0
+         for d in range(dims)]
+        for p in range(planes)
+    ]
+
+
 def perm_expr(h: Column, a: int, b: int) -> Column:
     return (h * F.lit(a) + F.lit(b)) % F.lit(P_MOD)
 

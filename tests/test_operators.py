@@ -149,3 +149,53 @@ def test_portable_hash_known_values(spark):
     df = spark.createDataFrame([("hello",), ("",)], "s string")
     got = {r["s"]: r["h"] for r in df.select("s", portable_hash_expr("s").alias("h")).collect()}
     assert got["hello"] == 99162322 and got[""] == 0
+
+
+def test_lsh_bucket_cap_and_empty_doc_filter(spark):
+    # 5 empty docs would share one degenerate band signature; the
+    # empty-shingle filter must keep them out of candidate generation
+    rows = [(i, "") for i in range(5)]
+    base = " ".join(f"w{i}" for i in range(50))
+    rows += [(10, base), (11, base + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signature(df, "text", "doc_id", num_hashes=8, hash_mode="fast")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4).collect()}
+    assert pairs == {(10, 11)}
+    # a bucket-size cap of 1 drops every bucket with >= 2 members
+    capped = dedup.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=8, bands=4, max_bucket_size=1
+    ).collect()
+    assert capped == []
+
+
+def test_ngram_jaccard_lsh_matches_exact_on_candidates(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    rows = [(1, base), (2, base + " extra"), (3, " ".join(f"z{i}" for i in range(50)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs_lsh(
+        df, "text", "doc_id", n=3, threshold=0.3, num_hashes=8, bands=4
+    ).collect()
+    # near-identical docs found, with the true (exact) jaccard value
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(
+                 df.withColumn("blk", F.lit(1)), "text", "doc_id", "blk",
+                 n=3, threshold=0.3).collect()}
+    got_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (1, 2) in got_pairs
+    for p, j in got_pairs.items():
+        assert abs(j - exact[p]) < 1e-12  # LSH output is a subset with exact values
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_bucketed_topk(emb, queries, k=5, dims=64, planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"ANN recall@5 {recall} below gate"
