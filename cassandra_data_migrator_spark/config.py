@@ -24,12 +24,16 @@ class EngineConfig:
 
     # --- batching (micro-batch epochs; CopyJobSession.java:150-218 analog)
     epoch_size: int = 100_000         # events per batch_epoch
+    rerun_multiplier: int = 4         # resumed epochs re-drive pending partitions in this
+                                      # many finer commit groups (TrackRun.java:48-71)
 
     # --- LWW semantics (WritetimeTTL.java:235-258, PKFactory.java:106-133)
     key_col: str = "url"
     ts_col: str = "warc_ts"
     seq_col: str = "seq"              # tie-break (writetimeIncrement analog, WritetimeTTL.java:244)
     op_col: str = "op"
+    ttl_col: str = ""                 # row TTL in seconds ("" = disabled); USING TTL analog
+                                      # (TargetInsertStatement.java:128, WritetimeTTL.java:260-281)
 
     # --- filters (OriginSelectStatement.java:104-131)
     where_condition: str | None = None        # user filter (OriginFilterCondition.java:54-76)

@@ -135,6 +135,28 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_REPLAY_FINAL_STATE = SQL_CDC_FOLD_UPSERT
 
 
+_LOOKUP_KEYS = tuple(f"https://example.com/u/{i}" for i in (3, 7, 11))
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 point lookup by PK (OriginSelectByPKStatement.java:27-67):
+    LWW-resolved current row for specific keys — the key predicate
+    pushes into the scan before the fold."""
+    ev = events_as_changelog(spark, sf_dir)
+    win = lww_dedup(
+        ev.where(F.col("url").isin(*_LOOKUP_KEYS)), "url", "warc_ts", "seq"
+    )
+    return win.select("url", "seq", "op", "event_type", "value")
+
+
+_KEYS_SQL = ", ".join(f"'{k}'" for k in _LOOKUP_KEYS)
+SQL_POINT_LOOKUP = f"""
+SELECT url, seq, op, event_type, value FROM ({CHANGELOG_SQL})
+WHERE url IN ({_KEYS_SQL})
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+"""
+
+
 # ===================================================================== diff/validate
 def q_diff_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 MISSING case as a left-anti join: customers with no events."""
@@ -250,6 +272,54 @@ SELECT event_type, COUNT(*) AS n,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
     / CAST(COUNT(*) AS DOUBLE) AS avg_k
 FROM events GROUP BY event_type
+"""
+
+
+def q_nested_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 recursive nested conversion (CqlConversion.java:262-406 /
+    SIT/features/04_udt_mapper analog): build a UDT-shaped payload
+    (struct + array + map), run it through cast_nested — struct-field
+    rename + cast, new field as typed null, array-element and map-value
+    casts — then flatten to scalars so the oracle can value-check."""
+    ev = t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").cast("int").alias("uid"),
+            F.col("event_type").alias("etype"),
+        ).alias("payload"),
+        F.array(
+            F.col("user_id").cast("int"), (F.col("user_id") + 1).cast("int")
+        ).alias("vals"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("int")).alias("m"),
+    )
+    conv = transforms.cast_nested(
+        nested,
+        {
+            "payload": "struct<uid: decimal(18,2), event_type_t: string, extra: string>",
+            "vals": "array<decimal(18,2)>",
+            "m": "map<string, double>",
+        },
+        field_renames={"payload": {"etype": "event_type_t"}},
+    )
+    return conv.select(
+        "event_id",
+        F.col("payload.uid").cast("string").alias("uid_str"),
+        F.col("payload.event_type_t").alias("event_type_t"),
+        F.col("payload.extra").alias("extra"),
+        F.element_at("vals", 2).cast("string").alias("v2_str"),
+        F.element_at("m", F.lit("uid")).alias("m_uid"),
+    )
+
+
+SQL_NESTED_CAST = """
+SELECT event_id,
+  CAST(CAST(user_id AS DECIMAL(18,2)) AS VARCHAR) AS uid_str,
+  event_type AS event_type_t,
+  CAST(NULL AS VARCHAR) AS extra,
+  CAST(CAST(user_id + 1 AS DECIMAL(18,2)) AS VARCHAR) AS v2_str,
+  CAST(user_id AS DOUBLE) AS m_uid
+FROM events
 """
 
 
@@ -383,6 +453,27 @@ WHERE value > 5.0
   AND ts >= TIMESTAMP '2024-01-02 00:00:00'
   AND ts <= TIMESTAMP '2024-01-20 00:00:00'
   AND lower(trim(event_type)) <> 'error'
+GROUP BY event_type
+"""
+
+
+def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 TTL consumption (USING TTL analog): per-row TTL derived from
+    the payload; rows whose TTL lapsed by the as-of are dropped through
+    the same predicate LakeTable.read/compact apply."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ttl_s", F.floor("value").cast("long") * F.lit(100_000)
+    )
+    alive = ev.where(
+        transforms.ttl_alive_predicate("ts", "ttl_s", "2024-02-01 00:00:00")
+    )
+    return alive.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_alive"))
+
+
+SQL_TTL_EXPIRY = """
+SELECT event_type, COUNT(*) AS n_alive FROM events
+WHERE epoch_ms(ts) + CAST(FLOOR(value) AS BIGINT) * 100000000
+      > epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
 GROUP BY event_type
 """
 
@@ -953,6 +1044,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_fold_upsert": q_cdc_fold_upsert,
     "cdc_op_mix": q_cdc_op_mix,
     "cdc_replay_final_state": q_cdc_replay_final_state,
+    "point_lookup": q_point_lookup,
     "diff_missing": q_diff_missing,
     "diff_status": q_diff_status,
     "guardrail_large": q_guardrail_large,
@@ -961,6 +1053,7 @@ QUERIES: dict[str, QueryFn] = {
     "explode_tokens": q_explode_tokens,
     "extract_json": q_extract_json,
     "constants_rename": q_constants_rename,
+    "nested_cast": q_nested_cast,
     "null_key_replace": q_null_key_replace,
     "writetime_greatest": q_writetime_greatest,
     # scan shaping (SURVEY §2.2)
@@ -968,6 +1061,7 @@ QUERIES: dict[str, QueryFn] = {
     "coverage_sample": q_coverage_sample,
     "counter_delta": q_counter_delta,
     "origin_filters": q_origin_filters,
+    "ttl_expiry": q_ttl_expiry,
     "sessionize": q_sessionize,
     "skew_salted_agg": q_skew_salted_agg,
     # analytics headliners
@@ -995,6 +1089,7 @@ ORACLES: dict[str, str] = {
     "cdc_fold_upsert": SQL_CDC_FOLD_UPSERT,
     "cdc_op_mix": SQL_CDC_OP_MIX,
     "cdc_replay_final_state": SQL_CDC_REPLAY_FINAL_STATE,
+    "point_lookup": SQL_POINT_LOOKUP,
     "diff_missing": SQL_DIFF_MISSING,
     "diff_status": SQL_DIFF_STATUS,
     "guardrail_large": SQL_GUARDRAIL_LARGE,
@@ -1002,12 +1097,14 @@ ORACLES: dict[str, str] = {
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "extract_json": SQL_EXTRACT_JSON,
     "constants_rename": SQL_CONSTANTS_RENAME,
+    "nested_cast": SQL_NESTED_CAST,
     "null_key_replace": SQL_NULL_KEY_REPLACE,
     "writetime_greatest": SQL_WRITETIME_GREATEST,
     "token_range_scan": SQL_TOKEN_RANGE_SCAN,
     "coverage_sample": SQL_COVERAGE_SAMPLE,
     "counter_delta": SQL_COUNTER_DELTA,
     "origin_filters": SQL_ORIGIN_FILTERS,
+    "ttl_expiry": SQL_TTL_EXPIRY,
     "sessionize": SQL_SESSIONIZE,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,

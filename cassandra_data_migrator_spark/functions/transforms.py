@@ -15,6 +15,7 @@ expressions, so pushdown/pruning/codegen apply automatically.
 | scrub_null_map_values | CqlTable.java:348-373 (map null-value scrub)   |
 | greatest_writetime / greatest_ttl | feature/WritetimeTTL.java:235-281  |
 | cast_columns        | cql/codec/Codecset.java:18-21 (14 codec pairs) — Catalyst casts |
+| cast_nested         | data/CqlConversion.java:262-406 (UDT/tuple/collection codec chains) |
 | skip_columns        | CqlTable.java:479-483                            |
 """
 
@@ -118,12 +119,100 @@ def greatest_ttl(df: DataFrame, ttl_cols: list[str], out_col: str = "ttl") -> Da
     return df.withColumn(out_col, expr)
 
 
+def ttl_alive_predicate(ts_col: str, ttl_col: str, as_of) -> "F.Column":
+    """True for rows still alive at ``as_of``: a row expires
+    ``ttl_col`` seconds after its write timestamp (USING TTL analog,
+    TargetInsertStatement.java:128); null TTL never expires. Epoch-ms
+    arithmetic so the comparison is exact and oracle-reproducible."""
+    exp_ms = (
+        F.unix_millis(F.col(ts_col).cast("timestamp"))
+        + F.col(ttl_col).cast("long") * F.lit(1000)
+    )
+    as_of_ms = F.unix_millis(F.lit(as_of).cast("timestamp"))
+    return F.col(ttl_col).isNull() | (exp_ms > as_of_ms)
+
+
 def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     """Per-column type conversion — the codec-pair pipeline collapsed
     into Catalyst casts (INT↔TEXT, TIMESTAMP↔TEXT, DECIMAL↔TEXT, ...)."""
     for c, t in casts.items():
         df = df.withColumn(c, F.col(c).cast(t))
     return df
+
+
+def _convert_nested_expr(col, src, dst, renames: dict[str, str] | None = None):
+    """Recursively convert ``col`` from type ``src`` to type ``dst``.
+
+    Struct fields are matched by (renamed) name — absent target fields
+    become typed nulls (the reference's missing-column => unset
+    semantics); array elements and map keys/values recurse through
+    ``transform`` / ``transform_keys`` / ``transform_values``; leaves are
+    Catalyst casts. The reference equivalent is the codec-chain walk in
+    ``data/CqlConversion.java:262-319`` (primitives), ``:321-357`` (UDT
+    field-by-field), ``:359-406`` (collections).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        ren = renames or {}
+        by_target_name = {ren.get(f.name, f.name): f for f in src.fields}
+        parts = []
+        for tf in dst.fields:
+            sf = by_target_name.get(tf.name)
+            if sf is None:
+                parts.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+            else:
+                parts.append(
+                    _convert_nested_expr(col.getField(sf.name), sf.dataType, tf.dataType)
+                    .alias(tf.name)
+                )
+        # a null struct stays null (not a struct of nulls)
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(
+            col, lambda e: _convert_nested_expr(e, src.elementType, dst.elementType)
+        )
+    if isinstance(dst, T.MapType) and isinstance(src, T.MapType):
+        out = F.transform_keys(
+            col, lambda k, v: _convert_nested_expr(k, src.keyType, dst.keyType)
+        )
+        return F.transform_values(
+            out, lambda k, v: _convert_nested_expr(v, src.valueType, dst.valueType)
+        )
+    return col.cast(dst)
+
+
+def cast_nested(
+    df: DataFrame,
+    specs: dict[str, object],
+    field_renames: dict[str, dict[str, str]] | None = None,
+) -> DataFrame:
+    """Recursive nested-type conversion — UDT/tuple/collection codec
+    chains as pure Catalyst expressions (no UDFs, codegen-friendly).
+
+    ``specs`` maps column name -> target type (DDL string or DataType):
+    struct fields are cast/renamed/added field-by-field, array elements
+    and map keys/values element-wise, recursively to any depth.
+    ``field_renames[col]`` maps origin struct-field names to target
+    names (the ``SIT/features/04_udt_mapper`` rename scenario).
+
+    Reference: ``data/CqlConversion.java:262-406``.
+    """
+    from pyspark.sql import types as T
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out = df
+    for cname, target in specs.items():
+        dst = (
+            target
+            if isinstance(target, T.DataType)
+            else T._parse_datatype_string(str(target))
+        )
+        ren = (field_renames or {}).get(cname)
+        out = out.withColumn(
+            cname, _convert_nested_expr(F.col(cname), schema[cname], dst, ren)
+        )
+    return out
 
 
 def format_timestamp(df: DataFrame, ts_col: str, out_col: str,

@@ -52,7 +52,11 @@ def diff(
 
     Returns one row per key with ``_diff_status`` in
     {VALID, MISSING, MISMATCH, EXTRA} plus both sides' compare columns
-    (expected side prefixed ``e_``).
+    (expected side prefixed ``e_``) and ``_mismatch_cols`` — the names
+    of the columns that differ (the per-field mismatch detail of
+    ``DiffJobSession.java:243-330``; empty for VALID, all compare
+    columns for MISSING/EXTRA by the same convention the reference uses
+    when the whole row is absent).
     """
     cols = compare_cols or [c for c in expected.columns if c != key_col and c in actual.columns]
     e = expected.select(
@@ -74,13 +78,26 @@ def diff(
     for chk in checks[1:]:
         all_equal = all_equal & chk
 
+    both_present = F.col("_e_present").isNotNull() & F.col("_a_present").isNotNull()
+    mismatch_cols = F.filter(
+        F.array(*[F.when(~chk, F.lit(c)) for c, chk in zip(cols, checks)]),
+        lambda x: x.isNotNull(),
+    )
+    detail = F.when(both_present, mismatch_cols).otherwise(
+        F.array(*[F.lit(c) for c in cols])
+    )
+
     status = (
         F.when(F.col("_e_present").isNull(), F.lit("EXTRA"))
         .when(F.col("_a_present").isNull(), F.lit("MISSING"))
         .when(all_equal, F.lit("VALID"))
         .otherwise(F.lit("MISMATCH"))
     )
-    return j.withColumn(STATUS_COL, status).drop("_e_present", "_a_present")
+    return (
+        j.withColumn(STATUS_COL, status)
+        .withColumn("_mismatch_cols", detail)
+        .drop("_e_present", "_a_present")
+    )
 
 
 def diff_counters(diff_df: DataFrame) -> JobCounter:

@@ -172,6 +172,7 @@ class LakeTable:
         seq_col: str = "seq",
         op_col: str = "op",
         num_buckets: int = 64,
+        ttl_col: str = "",
     ) -> "LakeTable":
         t = cls(spark, path)
         if t.exists():
@@ -185,6 +186,7 @@ class LakeTable:
             ts_col=ts_col,
             seq_col=seq_col,
             op_col=op_col,
+            props={"ttl_col": ttl_col} if ttl_col else {},
         )
         t._swap(mf, expected_parent=1)  # first CURRENT write; no parent file exists
         return t
@@ -273,11 +275,11 @@ class LakeTable:
         winner = F.max_by(payload, F.struct(*order_cols)).alias("_w")
         return df.groupBy(mf.key_col).agg(winner).select("_w.*")
 
-    def _evolve_schema(self, mf: Manifest, batch: DataFrame) -> Manifest:
+    def _evolve_schema(self, mf: Manifest, batch_schema: T.StructType) -> Manifest:
         """Additively widen the table schema with new batch columns."""
         cur = mf.schema()
         names = {f.name for f in cur.fields}
-        new = [f for f in batch.schema.fields if f.name not in names and f.name != BUCKET_COL]
+        new = [f for f in batch_schema.fields if f.name not in names and f.name != BUCKET_COL]
         if new:
             for f in new:
                 cur = cur.add(T.StructField(f.name, f.dataType, True))
@@ -318,7 +320,7 @@ class LakeTable:
             self.compact()
             mf = self.manifest()
         parent = mf.version
-        mf = self._evolve_schema(mf, batch)
+        mf = self._evolve_schema(mf, batch.schema)
         schema = mf.schema()
         batch = self._align(batch, schema).withColumn(
             BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
@@ -380,7 +382,7 @@ class LakeTable:
                 "re-drive with the batch filtered to unapplied keys only"
             )
         parent = mf.version
-        mf = self._evolve_schema(mf, batch)
+        mf = self._evolve_schema(mf, batch.schema)
         schema = mf.schema()
         batch = self._align(batch, schema).withColumn(
             BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets)
@@ -418,6 +420,41 @@ class LakeTable:
         return CommitResult(True, mf.version, buckets_rewritten=len(affected))
 
     # ------------------------------------------------------------- append (MoR)
+    def stage_delta(self, batch: DataFrame) -> dict:
+        """Write a MoR delta file set WITHOUT publishing it — the
+        parallel half of ``append_mor``, safe to run concurrently from
+        several driver threads (the epoch-pipelining path in
+        ``jobs.ingest``). Files land under a unique commit dir and stay
+        invisible until :meth:`commit_staged_delta` links them into a
+        manifest; a crash before that leaves harmless orphans."""
+        mf = self.manifest()
+        # widen a LOCAL manifest copy so a batch carrying new columns is
+        # written with them; the authoritative schema evolution happens
+        # at commit time (ordered), and readers ignore file columns the
+        # committed schema doesn't (yet) name
+        mf = self._evolve_schema(mf, batch.schema)
+        aligned = self._align(batch, mf.schema())
+        files = self._write_data(aligned, mf, bucketed=False)
+        return {"files": files, "schema_json": json.dumps(batch.schema.jsonValue())}
+
+    def commit_staged_delta(
+        self, staged: dict, commit_keys: list[str] | str
+    ) -> CommitResult:
+        """Publish a staged delta file set atomically (ordered, cheap —
+        manifest JSON only, no Spark job)."""
+        keys = [commit_keys] if isinstance(commit_keys, str) else list(commit_keys)
+        mf = self.manifest()
+        if all(k in mf.applied for k in keys):
+            return CommitResult(False, mf.version, skipped_keys=keys)
+        parent = mf.version
+        mf = self._evolve_schema(mf, T.StructType.fromJson(json.loads(staged["schema_json"])))
+        mf.version = parent + 1
+        for b, files in staged["files"].items():
+            mf.deltas.setdefault(b, []).extend(files)
+        mf.applied.extend(k for k in keys if k not in mf.applied)
+        self._swap(mf, expected_parent=parent)
+        return CommitResult(True, mf.version, buckets_rewritten=0)
+
     def append_mor(self, batch: DataFrame, commit_keys: list[str] | str) -> CommitResult:
         """Append a delta file set; LWW resolution deferred to read time.
 
@@ -429,19 +466,18 @@ class LakeTable:
         mf = self.manifest()
         if all(k in mf.applied for k in keys):
             return CommitResult(False, mf.version, skipped_keys=keys)
-        parent = mf.version
-        mf = self._evolve_schema(mf, batch)
-        batch = self._align(batch, mf.schema())
-        new_files = self._write_data(batch, mf, bucketed=False)
-        mf.version = parent + 1
-        for b, files in new_files.items():
-            mf.deltas.setdefault(b, []).extend(files)
-        mf.applied.extend(k for k in keys if k not in mf.applied)
-        self._swap(mf, expected_parent=parent)
-        return CommitResult(True, mf.version, buckets_rewritten=0)
+        return self.commit_staged_delta(self.stage_delta(batch), keys)
 
-    def compact(self, buckets: list[int] | None = None) -> CommitResult:
-        """Fold MoR deltas into the base for the given (or all) buckets."""
+    def compact(
+        self, buckets: list[int] | None = None, expire_as_of=None
+    ) -> CommitResult:
+        """Fold MoR deltas into the base for the given (or all) buckets.
+
+        ``expire_as_of``: additionally drop rows whose TTL has lapsed by
+        that timestamp — the physical reclaim of USING-TTL rows
+        (Cassandra compaction-expiry analog). Like Cassandra, a
+        later-arriving OLDER version of an expired row can resurrect the
+        key until the next expiring compaction."""
         mf = self.manifest()
         parent = mf.version
         has_global = bool(mf.deltas.get(GLOBAL_DELTA))
@@ -461,6 +497,13 @@ class LakeTable:
             self._files(mf, with_deltas, "base") + self._files(mf, with_deltas, "deltas"),
         ).withColumn(BUCKET_COL, bucket_expr(mf.key_col, mf.num_buckets))
         resolved = self._lww_resolve(df, mf)
+        ttl_col = mf.props.get("ttl_col")
+        if expire_as_of is not None and ttl_col and ttl_col in resolved.columns:
+            from ..functions.transforms import ttl_alive_predicate
+
+            resolved = resolved.where(
+                ttl_alive_predicate(mf.ts_col, ttl_col, expire_as_of)
+            )
         new_files = self._write_data(resolved, mf)
         mf.version = parent + 1
         rewritten = sorted(set(with_deltas) | {int(b) for b in new_files})
@@ -477,8 +520,14 @@ class LakeTable:
         include_tombstones: bool = False,
         resolve: bool = True,
         buckets: list[int] | None = None,
+        as_of=None,
     ) -> DataFrame:
-        """Current snapshot. Tombstones ('D' rows) dropped at projection."""
+        """Current snapshot. Tombstones ('D' rows) dropped at projection.
+
+        ``as_of``: when the table has a TTL column, rows whose TTL
+        lapsed by that timestamp are filtered out at read time (the
+        query-time half of USING-TTL expiry; ``compact(expire_as_of=)``
+        is the physical reclaim)."""
         mf = self.manifest()
         base = self._read_files(mf, self._files(mf, buckets, "base"))
         has_deltas = any(mf.deltas.values())
@@ -495,7 +544,28 @@ class LakeTable:
         if not include_tombstones and mf.op_col in df.columns:
             # null op (e.g. correction rows) is live, not a tombstone
             df = df.where(~F.col(mf.op_col).eqNullSafe(F.lit("D")))
+        ttl_col = mf.props.get("ttl_col")
+        if as_of is not None and ttl_col and ttl_col in df.columns:
+            from ..functions.transforms import ttl_alive_predicate
+
+            df = df.where(ttl_alive_predicate(mf.ts_col, ttl_col, as_of))
         return df
+
+    def lookup(self, keys: list, as_of=None) -> DataFrame:
+        """Point lookup by primary key (``OriginSelectByPKStatement.java:
+        27-67`` analog): prune the read to the hash buckets the keys
+        fall in, then filter to the keys — touches at most ``len(keys)``
+        buckets' files instead of the whole table."""
+        mf = self.manifest()
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([mf.schema()[mf.key_col]])
+        )
+        buckets = sorted(
+            r[0] for r in
+            kdf.select(bucket_expr(mf.key_col, mf.num_buckets)).distinct().collect()
+        )
+        df = self.read(buckets=buckets, as_of=as_of)
+        return df.where(F.col(mf.key_col).isin(keys))
 
     def applied_keys(self) -> set[str]:
         return set(self.manifest().applied)

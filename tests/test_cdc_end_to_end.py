@@ -148,3 +148,71 @@ def test_schema_evolution_lang_null_before_epoch(spark, events, tmp_path):
     pre = actual.where(F.col("lang").isNull()).count()
     post = actual.where(F.col("lang").isNotNull()).count()
     assert pre > 0 and post > 0
+
+
+def test_rerun_resplit_partial_epoch(spark, events, tmp_path):
+    """A partially-applied epoch re-drives its pending partitions in
+    finer commit groups (rerunMultiplier analog, TrackRun.java:48-71)."""
+    from cassandra_data_migrator_spark.jobs import _ensure_lake
+    from cassandra_data_migrator_spark.operators.lww import lww_dedup_skinny
+
+    cfg = make_cfg(tmp_path, rerun_multiplier=3)
+    # simulate a run that died mid-epoch: partition 0 of epoch 0 applied
+    lake = _ensure_lake(spark, cfg, events)
+    first = events.where(
+        (F.col("batch_epoch") == 0) & (F.col("partition") == 0)
+    ).drop("partition", "batch_epoch")
+    lake.append_mor(lww_dedup_skinny(first, "url", "warc_ts", "seq"), ["0:0"])
+
+    res = ingest(spark, cfg, changelog_df=events, mode="mor")
+    assert 0 in res.epochs_applied
+    # every partition:epoch key applied exactly once; final state correct
+    actual = LakeTable(spark, cfg.lake_path).read()
+    expected = expected_state(events, cfg)
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+    # lineage shows epoch 0's pending partitions went in 3 commit groups
+    from cassandra_data_migrator_spark.lineage import LineageStore
+
+    det = LineageStore(spark, cfg.lineage_path).details()
+    e0 = det.where((F.col("batch_epoch") == 0) & (F.col("status") == "PASS"))
+    assert e0.count() == 7  # 8 partitions minus the pre-applied one
+    assert e0.select("ts_unix").distinct().count() == 3
+
+
+def test_validate_sampled_coverage(spark, events, tmp_path):
+    """coverage_percent < 100 validates a token-space sample of keys on
+    BOTH sides (SplitPartitions.java:66-68, README.md:186)."""
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    full_d, full_jc = validate(spark, cfg, changelog_df=events)
+    cfg25 = make_cfg(tmp_path, coverage_percent=25)
+    d, jc = validate(spark, cfg25, changelog_df=events)
+    assert 0 < jc.get("READ") < full_jc.get("READ")
+    assert jc.get("MISSING") == 0 and jc.get("MISMATCH") == 0
+
+
+def test_diff_reports_mismatching_column_names(spark):
+    from cassandra_data_migrator_spark.operators.diff import diff
+
+    e = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 2), ("k3", "c", 3)], "key string, v string, n long"
+    )
+    a = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "XX", 2), ("k4", "d", 4)], "key string, v string, n long"
+    )
+    d = {r["key"]: r for r in diff(e, a, "key", ["v", "n"]).collect()}
+    assert d["k1"][STATUS_COL] == "VALID" and d["k1"]["_mismatch_cols"] == []
+    assert d["k2"][STATUS_COL] == "MISMATCH" and d["k2"]["_mismatch_cols"] == ["v"]
+    assert d["k3"][STATUS_COL] == "MISSING" and d["k3"]["_mismatch_cols"] == ["v", "n"]
+    assert d["k4"][STATUS_COL] == "EXTRA"
+
+
+def test_lake_point_lookup_prunes_buckets(spark, events, tmp_path):
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    lake = LakeTable(spark, cfg.lake_path)
+    all_rows = {r["url"]: r["seq"] for r in lake.read().collect()}
+    some = sorted(all_rows)[:3]
+    got = {r["url"]: r["seq"] for r in lake.lookup(some).collect()}
+    assert got == {k: all_rows[k] for k in some}

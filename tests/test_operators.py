@@ -199,3 +199,37 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"ANN recall@5 {recall} below gate"
+
+
+def test_cast_nested_udt_mapper_analog(spark):
+    # SIT/features/04_udt_mapper analog: rename + cast struct fields,
+    # add a new field as typed null, recurse into array-of-struct and map
+    df = spark.createDataFrame(
+        [
+            (1, (7, "a"), [(1, 2.5)], {"k": 3}),
+            (2, None, [], {}),
+        ],
+        "id long, udt struct<num:int, tag:string>, "
+        "arr array<struct<x:int, y:double>>, m map<string,int>",
+    )
+    out = transforms.cast_nested(
+        df,
+        {
+            "udt": "struct<num_l: bigint, tag: string, added: int>",
+            "arr": "array<struct<x: string, y: decimal(9,1)>>",
+            "m": "map<string, bigint>",
+        },
+        field_renames={"udt": {"num": "num_l"}},
+    )
+    assert out.schema["udt"].dataType.simpleString() == (
+        "struct<num_l:bigint,tag:string,added:int>"
+    )
+    assert out.schema["arr"].dataType.simpleString() == (
+        "array<struct<x:string,y:decimal(9,1)>>"
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["udt"].num_l == 7 and rows[1]["udt"].tag == "a"
+    assert rows[1]["udt"].added is None
+    assert rows[1]["arr"][0].x == "1" and str(rows[1]["arr"][0].y) == "2.5"
+    assert rows[1]["m"] == {"k": 3}
+    assert rows[2]["udt"] is None  # null struct stays null

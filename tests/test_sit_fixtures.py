@@ -181,3 +181,35 @@ def test_additive_schema_evolution_in_lake(spark, tmp_path):
     lake.merge_cow(v2, ["e2"])
     got = {r["key"]: r["lang"] for r in lake.read().collect()}
     assert got == {"k1": None, "k2": "en"}
+
+
+# --- SIT/smoke/03_ttl_writetime (expiry half): a row with a lapsed TTL
+# vanishes from the snapshot at read time and is physically reclaimed by
+# an expiring compaction (USING TTL analog, TargetInsertStatement.java:128)
+def test_ttl_expiry_read_and_compact(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("k1", "short", "2024-01-01 00:00:00", 1, "U", 3600),       # expires 01:00
+            ("k2", "long", "2024-01-01 00:00:00", 2, "U", 86400 * 30),  # expires Jan 31
+            ("k3", "forever", "2024-01-01 00:00:00", 3, "U", None),     # no TTL
+        ],
+        "key string, value string, ts_s string, seq long, op string, ttl int",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), df.schema,
+        key_col="key", ts_col="ts", seq_col="seq", num_buckets=4, ttl_col="ttl",
+    )
+    lake.append_mor(df, ["e1"])
+
+    live_early = {r["key"] for r in lake.read(as_of="2024-01-01 00:30:00").collect()}
+    assert live_early == {"k1", "k2", "k3"}
+    live_late = {r["key"] for r in lake.read(as_of="2024-01-05 00:00:00").collect()}
+    assert live_late == {"k2", "k3"}
+    live_feb = {r["key"] for r in lake.read(as_of="2024-02-15 00:00:00").collect()}
+    assert live_feb == {"k3"}
+
+    # physical reclaim: after an expiring compaction the row is gone
+    # even from an unfiltered read
+    lake.compact(expire_as_of="2024-01-05 00:00:00")
+    remaining = {r["key"] for r in lake.read(include_tombstones=True).collect()}
+    assert remaining == {"k2", "k3"}
