@@ -121,8 +121,19 @@ def headline_queries(spark) -> dict[str, float]:
         "ann_lsh_topk": lambda: similarity.lsh_bucketed_topk(
             emb, emb.where(F.col("vec_id") < 5), k=5
         ),
-        "embed_cosine_pairs_fast": lambda: similarity.cosine_near_pairs_fast(
-            emb, threshold=0.5
+        # headline near-dup path = LSH-bucket-blocked exact cosine (the
+        # 100 TB shape); cosine_near_pairs_fast (driver-broadcast matmul)
+        # is deliberately NOT a headline — it is the medium-scale variant
+        "embed_cosine_pairs_lsh": lambda: similarity.cosine_near_pairs(
+            emb.withColumn(
+                "_bkt", similarity.hyperplane_bucket_expr("embedding", 64, 4)
+            ),
+            threshold=0.5,
+            block_col="_bkt",
+        ),
+        "ngram_jaccard_lsh_fast": lambda: dedup.ngram_jaccard_pairs_lsh(
+            docs, "text", "doc_id", n=3, threshold=0.12,
+            num_hashes=8, bands=4, hash_mode="fast",
         ),
         "quality_score": lambda: QUERIES["quality_score"](spark, SF_DIR),
         "lang_id": lambda: QUERIES["lang_id"](spark, SF_DIR),

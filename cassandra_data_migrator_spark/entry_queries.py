@@ -352,6 +352,51 @@ FROM customer GROUP BY 1
 """
 
 
+def q_codec_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 type-cast codec pairs (cql/codec/Codecset.java:18-21) as
+    Catalyst casts, one output column per pair:
+
+    INT→TEXT (int_text), TEXT→INT (text_int, round trip),
+    BIGINT→DECIMAL→TEXT (dec_text), TIMESTAMP→TEXT formatted (ts_fmt =
+    TIMESTAMP_StringFormatCodec), TIMESTAMP→MILLIS (ts_millis =
+    TIMESTAMP_StringMillisCodec), MILLIS→TIMESTAMP round trip
+    (millis_ts_rt), DATE→TEXT (date_text), BOOLEAN→TEXT (bool_text),
+    TEXT→BLOB length (blob_len = STRING_BLOB). DOUBLE→TEXT is
+    intentionally absent: engines disagree on shortest-repr formatting
+    (see module docstring numeric policy).
+    """
+    ev = t(spark, sf_dir, "events").withColumn("ts_t", F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("int_text"),
+        F.col("user_id").cast("string").cast("bigint").alias("text_int"),
+        F.col("user_id").cast("decimal(18,2)").cast("string").alias("dec_text"),
+        F.date_format("ts_t", "yyyy-MM-dd HH:mm:ss").alias("ts_fmt"),
+        F.unix_millis(F.col("ts_t")).alias("ts_millis"),
+        F.date_format(
+            F.timestamp_millis(F.unix_millis(F.col("ts_t"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("millis_ts_rt"),
+        F.col("ts_t").cast("date").cast("string").alias("date_text"),
+        (F.col("user_id") % 2 == 0).cast("string").alias("bool_text"),
+        F.octet_length(F.col("event_type").cast("binary")).cast("long").alias("blob_len"),
+    )
+
+
+SQL_CODEC_CASTS = """
+SELECT event_id,
+  CAST(user_id AS VARCHAR) AS int_text,
+  CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS text_int,
+  CAST(CAST(user_id AS DECIMAL(18,2)) AS VARCHAR) AS dec_text,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+  epoch_ms(ts) AS ts_millis,
+  strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S') AS millis_ts_rt,
+  CAST(CAST(ts AS DATE) AS VARCHAR) AS date_text,
+  CAST(user_id % 2 = 0 AS VARCHAR) AS bool_text,
+  CAST(octet_length(encode(event_type)) AS BIGINT) AS blob_len
+FROM events
+"""
+
+
 def q_writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 row-wise greatest-writetime (WritetimeTTL.java:235-258)."""
     ev = t(spark, sf_dir, "events")
@@ -505,6 +550,36 @@ SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_event
     THEN 1 ELSE 0 END AS new_sess
   FROM events
 ) GROUP BY user_id
+"""
+
+
+def q_windowed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 tumbling-window aggregation (batch view of the streaming
+    windowed_url_activity operator): 10-minute windows per event_type.
+    F.window works identically on readStream DataFrames; the streaming
+    variant adds the watermark (streaming/replay.py:94-116)."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "10 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(_money("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_WINDOWED_ACTIVITY = """
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
 """
 
 
@@ -1055,6 +1130,7 @@ QUERIES: dict[str, QueryFn] = {
     "constants_rename": q_constants_rename,
     "nested_cast": q_nested_cast,
     "null_key_replace": q_null_key_replace,
+    "codec_casts": q_codec_casts,
     "writetime_greatest": q_writetime_greatest,
     # scan shaping (SURVEY §2.2)
     "token_range_scan": q_token_range_scan,
@@ -1063,6 +1139,7 @@ QUERIES: dict[str, QueryFn] = {
     "origin_filters": q_origin_filters,
     "ttl_expiry": q_ttl_expiry,
     "sessionize": q_sessionize,
+    "windowed_activity": q_windowed_activity,
     "skew_salted_agg": q_skew_salted_agg,
     # analytics headliners
     "tpch_q1": q_tpch_q1,
@@ -1099,6 +1176,7 @@ ORACLES: dict[str, str] = {
     "constants_rename": SQL_CONSTANTS_RENAME,
     "nested_cast": SQL_NESTED_CAST,
     "null_key_replace": SQL_NULL_KEY_REPLACE,
+    "codec_casts": SQL_CODEC_CASTS,
     "writetime_greatest": SQL_WRITETIME_GREATEST,
     "token_range_scan": SQL_TOKEN_RANGE_SCAN,
     "coverage_sample": SQL_COVERAGE_SAMPLE,
@@ -1106,6 +1184,7 @@ ORACLES: dict[str, str] = {
     "origin_filters": SQL_ORIGIN_FILTERS,
     "ttl_expiry": SQL_TTL_EXPIRY,
     "sessionize": SQL_SESSIONIZE,
+    "windowed_activity": SQL_WINDOWED_ACTIVITY,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,

@@ -57,11 +57,18 @@ def brute_force_topk(
     uses a deterministic (score desc, id asc) order."""
     from pyspark.sql import Window
 
+    # norms precomputed once per row — the pair expression then does ONE
+    # dot product, not dot + two 64-element norm folds per candidate
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
-    scored = emb.alias("c").join(F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id"))
-    cos = cosine_expr(F.col("_qv"), F.col(f"c.{vec_col}"))
+    c = emb.withColumn("_cn", norm_expr(F.col(vec_col))).alias("c")
+    scored = c.join(F.broadcast(q), F.col(f"c.{id_col}") != F.col("query_id"))
+    cos = dot_expr(F.col("_qv"), F.col(f"c.{vec_col}")) / (
+        F.col("_qn") * F.col("c._cn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.select(
@@ -85,12 +92,16 @@ def cosine_near_pairs(
     """Embedding near-duplicate pairs: cosine >= threshold.
 
     With ``block_col`` the quadratic join is confined to blocks — at
-    scale pass an LSH bucket column."""
-    a, b = emb.alias("a"), emb.alias("b")
+    scale pass an LSH bucket column. Norms are precomputed per row, so
+    each candidate pair costs one dot product."""
+    pre = emb.withColumn("_nrm", norm_expr(F.col(vec_col)))
+    a, b = pre.alias("a"), pre.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._nrm") * F.col("b._nrm")
+    )
     return (
         a.join(b, cond)
         .select(
@@ -147,7 +158,9 @@ def lsh_bucketed_topk(
     from pyspark.sql import Window
 
     bucket = hyperplane_bucket_expr(vec_col, dims, planes)
-    c = emb.withColumn("_bkt", bucket).alias("c")
+    c = emb.withColumn("_bkt", bucket).withColumn(
+        "_cn", norm_expr(F.col(vec_col))
+    ).alias("c")
     qbkt = hyperplane_bucket_expr(vec_col, dims, planes)
     probe_cols = [qbkt]
     if probe_radius >= 1:
@@ -155,13 +168,14 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
         F.explode(F.array(*probe_cols)).alias("_qbkt"),
     )
     scored = c.join(
         F.broadcast(q),
         (F.col("c._bkt") == F.col("_qbkt")) & (F.col(f"c.{id_col}") != F.col("query_id")),
     )
-    cos = cosine_expr(F.col("_qv"), F.col(f"c.{vec_col}"))
+    cos = dot_expr(F.col("_qv"), F.col(f"c.{vec_col}")) / (F.col("_qn") * F.col("c._cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.select(

@@ -26,9 +26,14 @@ def fmt(spark, df, mode="formatted") -> str:
     )
 
 
-def trim(plan: str, max_lines: int = 40) -> str:
+def trim(plan: str, max_lines: int = 40, max_line_len: int = 400) -> str:
     lines = [ln.rstrip() for ln in plan.splitlines() if ln.strip()]
-    return "\n".join(lines[:max_lines])
+    lines = [
+        (ln[:max_line_len] + f" …[+{len(ln) - max_line_len} chars]")
+        if len(ln) > max_line_len else ln
+        for ln in lines[:max_lines]
+    ]
+    return "\n".join(lines)
 
 
 def main() -> int:
@@ -56,7 +61,7 @@ def main() -> int:
         "Dimension sides broadcast (explicit broadcast(customer) + "
         "statistics-driven choices elsewhere); fact table scanned once with "
         "pruned columns and pushed date filters.",
-        joins,
+        trim(joins),
     ))
 
     lww_plan = fmt(spark, lww_dedup(ev), "simple")
@@ -95,6 +100,45 @@ def main() -> int:
         "Arrow-batched MapInPandas over (id, binary payload) only — "
         "column pruning keeps text decode out of the exchange.",
         trim(mplan, 15),
+    ))
+
+    ec = QUERIES["embed_cosine_pairs"](spark, SF)
+    ec_joins = "\n".join(
+        ln for ln in fmt(spark, ec, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange|FileScan", ln)
+    )
+    sections.append((
+        "embed_cosine_pairs — hyperplane-LSH bucket equi-join",
+        "The near-dup self-join is an EQUI-join on the deterministic LSH "
+        "bucket id (hash join, never CartesianProduct/NestedLoop): at "
+        "10^10 rows each bucket pair joins independently.",
+        trim(ec_joins),
+    ))
+
+    nj = QUERIES["dedup_ngram_jaccard"](spark, SF)
+    nj_joins = "\n".join(
+        ln for ln in fmt(spark, nj, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange", ln)
+    )
+    sections.append((
+        "dedup_ngram_jaccard — LSH candidates, then exact Jaccard",
+        "Candidate generation is the banded minhash bucket join; the "
+        "expensive exact set-intersection runs only on candidate pairs "
+        "(joined back to the gram arrays by id) — no all-pairs stage.",
+        trim(nj_joins),
+    ))
+
+    ann = QUERIES["ann_lsh_topk"](spark, SF)
+    ann_joins = "\n".join(
+        ln for ln in fmt(spark, ann, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange|Generate", ln)
+    )
+    sections.append((
+        "ann_lsh_topk — multi-probe bucket join",
+        "Queries explode to (planes+1) probe buckets and broadcast; the "
+        "corpus joins on its single bucket id — candidates bounded by "
+        "bucket sizes, never a cross join.",
+        trim(ann_joins),
     ))
 
     out = ["""# PLANS.md — physical plan evidence
