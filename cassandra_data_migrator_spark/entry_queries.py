@@ -1004,6 +1004,48 @@ QUALIFY rank <= 5
 """
 
 
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic training-free centroids
+    (lowest-id vectors), nearest-cell assignment, n_probe cell scan —
+    the data-adaptive ANN scale path next to hyperplane LSH."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+), assign AS (
+  SELECT e.vec_id, e.embedding, cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos_sql('e.embedding', 'cemb')} DESC, cid ASC
+    ) AS rn
+  FROM embeddings e CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, embedding AS qemb, cid FROM assign
+  WHERE vec_id < 5 AND rn <= {_IVF_PROBE}
+)
+SELECT qid AS query_id, c.vec_id AS neighbor_id,
+  {_cos_sql('qemb', 'c.embedding')} AS cosine,
+  CAST(row_number() OVER (
+    PARTITION BY qid
+    ORDER BY {_cos_sql('qemb', 'c.embedding')} DESC, c.vec_id ASC
+  ) AS INTEGER) AS rank
+FROM probes q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.qid
+QUALIFY rank <= 5
+"""
+
+
 # ===================================================================== text analysis
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -1154,6 +1196,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
@@ -1197,6 +1240,7 @@ ORACLES: dict[str, str] = {
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_stats": SQL_TOKEN_STATS,

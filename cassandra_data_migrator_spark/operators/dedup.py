@@ -188,8 +188,10 @@ def simhash(
     """SimHash fingerprint: per bit, sign of the sum of ±1 votes from
     each distinct token's hash; assembled into one integer.
 
-    Nested higher-order functions — outer fold over bit positions, inner
-    fold over token hashes — all JVM-side."""
+    Per-bit votes as a Python-unrolled loop of integer folds: the bit
+    index is then a LITERAL, so each vote is shiftright+AND integer ops
+    inside whole-stage codegen (the earlier variable-bit formulation
+    paid a double pow+floor per token per bit)."""
     toks = F.array_distinct(word_tokens(col))
     if hash_mode == "portable":
         hashes = F.transform(toks, lambda t: portable_hash_expr(t))
@@ -197,26 +199,20 @@ def simhash(
         hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(P_MOD)))
     h = df.select(F.col(id_col), hashes.alias("_h"))
 
-    def bit_vote(b: Column) -> Column:
-        # bit b of x via floor(x / 2^b) % 2 — shiftright needs a literal
-        # shift amount, and the bit index here is a lambda variable
+    def bit_vote(b: int) -> Column:
         return F.aggregate(
             F.col("_h"),
             F.lit(0).cast("long"),
             lambda acc, x: acc
-            + (F.pmod(F.floor(x / F.pow(F.lit(2.0), b.cast("double"))).cast("long"), F.lit(2)) * 2 - 1),
+            + (F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
-    fp = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        # 2^b via pow (shiftleft takes only literal shift amounts);
-        # exact for b < 53
-        lambda acc, b: acc
-        + F.when(
-            bit_vote(b) > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    fp = None
+    for b in range(bits):
+        term = F.when(bit_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
     return h.select(F.col(id_col), fp.alias("simhash"))
 
 

@@ -186,6 +186,80 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the data-adaptive
+    counterpart to hyperplane LSH.
+
+    Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors serve
+    as deterministic, training-free centroids (swapping in k-means
+    centroids changes only this tiny DataFrame, not the plan shape).
+    Every corpus row is assigned to its nearest centroid's cell via a
+    broadcast cross join + argmax (map-side, no shuffle of the corpus);
+    a query probes its ``n_probe`` nearest cells and scores only those
+    cells' members — a bounded cell equi-join, like the LSH bucket join
+    but adapting to the data's cluster structure.
+    """
+    from pyspark.sql import Window
+
+    cent = F.broadcast(
+        emb.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cemb"),
+            norm_expr(F.col(vec_col)).alias("_cn"),
+        )
+    )
+
+    def ranked_cells(df: DataFrame, rank_col: str) -> DataFrame:
+        pre = df.withColumn("_nrm", norm_expr(F.col(vec_col)))
+        cos = dot_expr(F.col(vec_col), F.col("_cemb")) / (F.col("_nrm") * F.col("_cn"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
+        return (
+            pre.crossJoin(cent)
+            .withColumn("_ccos", cos)
+            .withColumn(rank_col, F.row_number().over(w))
+        )
+
+    cells = (
+        ranked_cells(emb, "_crank")
+        .where(F.col("_crank") == 1)
+        .select(id_col, vec_col, "_nrm", "_cid")
+        .alias("c")
+    )
+    probes = (
+        ranked_cells(queries, "_prank")
+        .where(F.col("_prank") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_nrm").alias("_qn"),
+            F.col("_cid").alias("_qcid"),
+        )
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (F.col("c._cid") == F.col("_qcid")) & (F.col(f"c.{id_col}") != F.col("query_id")),
+    )
+    cos = dot_expr(F.col("_qv"), F.col(f"c.{vec_col}")) / (F.col("_qn") * F.col("c._nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", F.col(f"c.{id_col}").alias("neighbor_id"), cos.alias("cosine")
+        )
+        # no dedup needed: each corpus row lives in exactly one cell and
+        # a query's probe cells are distinct
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_near_pairs_fast(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -233,3 +233,17 @@ def test_cast_nested_udt_mapper_analog(spark):
     assert rows[1]["arr"][0].x == "1" and str(rows[1]["arr"][0].y) == "2.5"
     assert rows[1]["m"] == {"k": 3}
     assert rows[2]["udt"] is None  # null struct stays null
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall@5 {recall} below gate"

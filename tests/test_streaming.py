@@ -65,3 +65,49 @@ def test_windowed_activity_batch_semantics(spark):
     rows = agg.collect()
     assert sum(r["n_events"] for r in rows) == 2_000
     assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_stateful_lww_change_feed(spark, tmp_path):
+    """applyInPandasWithState LWW state machine: across micro-batches,
+    each key's last emitted transition equals the batch LWW winner, and
+    a batch emits at most one row per key."""
+    from cassandra_data_migrator_spark.operators.lww import lww_dedup
+    from cassandra_data_migrator_spark.streaming.stateful import stateful_lww_updates
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+
+    ev = wal.changelog(spark, N_EVENTS, n_urls=200, epoch_size=500, num_partitions=4)
+    wal.write_changelog(ev, str(tmp_path / "wal"))
+    stream = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(tmp_path / "wal"))
+    )
+    updates = stateful_lww_updates(stream)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("lww_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    emitted = spark.sql("SELECT * FROM lww_updates")
+    assert emitted.count() > 0
+    # last transition per key == batch LWW winner (same (ts, seq) order)
+    final = lww_dedup(emitted, "url", "warc_ts", "seq").select(
+        "url", "warc_ts", "seq", "op"
+    )
+    expected = lww_dedup(ev.drop("partition", "batch_epoch"), "url", "warc_ts", "seq").select(
+        "url", "warc_ts", "seq", "op"
+    )
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+    # change-feed property: strictly increasing (ts, seq) per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    mono = emitted.withColumn(
+        "_prev_seq", F.lag("seq").over(w)
+    ).where(F.col("_prev_seq").isNotNull() & (F.col("seq") <= F.col("_prev_seq")))
+    assert mono.count() == 0
