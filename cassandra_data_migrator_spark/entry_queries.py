@@ -1154,6 +1154,52 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: binary payload -> one row per sampled
+    256-byte frame (mapInPandas fan-out); oracle replays the chunking
+    arithmetic and per-frame md5 in SQL. Restricted to ASCII payloads
+    (bytes == chars) because DuckDB's md5/substring are VARCHAR-only —
+    the Spark side slices raw bytes either way."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
+    return multimodal.sample_frames(multimodal.attach_binary(docs, "text"), every_n=2)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+  CAST(i * 40 AS BIGINT) AS pts_ms,
+  md5(substring(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS frame_md5
+FROM documents
+CROSS JOIN unnest(generate_series(0,
+  CAST(octet_length(encode(text)) // 256 AS BIGINT) - 1, 2)) AS t(i)
+WHERE octet_length(encode(text)) = length(text)
+"""
+
+
+def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: GPT-2-style pretokenizer classes
+    restricted to ASCII so Spark (Java regex) and DuckDB (RE2) agree:
+    letter runs, digit runs, and non-alnum runs, each with an optional
+    leading space."""
+    pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("long").alias(
+            "n_bpeish"
+        ),
+    )
+
+
+SQL_TOKEN_BPEISH = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+    AS n_bpeish
+FROM documents
+"""
+
+
 # ===================================================================== registry
 QUERIES: dict[str, QueryFn] = {
     # CDC core (SURVEY §2.1-2.4)
@@ -1200,8 +1246,10 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
+    "token_bpeish": q_token_bpeish,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1244,6 +1292,8 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_stats": SQL_TOKEN_STATS,
+    "token_bpeish": SQL_TOKEN_BPEISH,
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "frame_sample": SQL_FRAME_SAMPLE,
 }

@@ -247,3 +247,25 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"IVF recall@5 {recall} below gate"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 8, 8)
+    df = spark.createDataFrame(
+        [(1, "x" * 600), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    wp = multimodal.attach_binary(df, "text")
+    resized = {r["doc_id"]: r for r in multimodal.resize_images(wp, 8, 8).collect()}
+    assert set(resized) == {1, 2}  # empty payload dropped
+    assert len(resized[1]["resized"]) == 64 and len(resized[2]["resized"]) == 64
+    assert bytes(resized[2]["resized"]) == b"ab" * 32  # deterministic tiling
+
+    frames = multimodal.sample_frames(wp, every_n=1).collect()
+    # doc 1: 600 bytes -> 2 complete 256-byte frames; docs 2,3: none
+    assert [(r["doc_id"], r["frame_idx"], r["pts_ms"]) for r in frames] == [
+        (1, 0, 0), (1, 1, 40)
+    ]
+    import hashlib
+
+    assert frames[0]["frame_md5"] == hashlib.md5(b"x" * 256).hexdigest()
