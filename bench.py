@@ -103,6 +103,8 @@ def headline_queries(spark) -> dict[str, float]:
         "tpch_q1": lambda: QUERIES["tpch_q1"](spark, SF_DIR),
         "tpch_q3": lambda: QUERIES["tpch_q3"](spark, SF_DIR),
         "tpch_q5": lambda: QUERIES["tpch_q5"](spark, SF_DIR),
+        "tpch_q6": lambda: QUERIES["tpch_q6"](spark, SF_DIR),
+        "tpch_q10": lambda: QUERIES["tpch_q10"](spark, SF_DIR),
         "cdc_lww_latest": lambda: QUERIES["cdc_lww_latest"](spark, SF_DIR),
         "diff_status": lambda: QUERIES["diff_status"](spark, SF_DIR),
         "sessionize": lambda: QUERIES["sessionize"](spark, SF_DIR),

@@ -716,6 +716,70 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: single-scan agg with tight pushed
+    range predicates (the pure pushdown/pruning showcase)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (_money("l_extendedprice") * _money("l_discount")).cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(0.05))
+            & (F.col("l_discount") <= F.lit(0.07))
+            & (F.col("l_quantity") < F.lit(24.0))
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_REV6 = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+SQL_TPCH_Q6 = f"""
+SELECT CAST(SUM({_REV6}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24.0 AS DOUBLE)
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: fact joins + wide group-by + top-20."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nat = t(spark, sf_dir, "nation")
+    disc_price = (_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
 # ===================================================================== dedup family
 _MINHASH_K = 8
 _SHINGLE_N = 3
@@ -956,7 +1020,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector (exact ANN baseline)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return similarity.brute_force_topk(emb, queries, k=5, round_digits=6)
+    return similarity.brute_force_topk(emb, queries, k=5)
 
 
 SQL_ANN_TOPK = f"""
@@ -1233,6 +1297,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
     # training-data ops
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1280,6 +1346,8 @@ ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q10": SQL_TPCH_Q10,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,

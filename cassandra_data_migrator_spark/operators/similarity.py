@@ -7,11 +7,12 @@
   The correctness baseline.
 * ``cosine_near_pairs`` — threshold self-join for embedding near-dup
   detection.
-* ``lsh_bucketed_topk`` — the scale path: random-hyperplane signs
-  (deterministic pseudo-hyperplanes from xxhash64) bucket the corpus;
-  only same/adjacent-bucket candidates are scored. Approximate; at
-  10^10 rows this replaces the quadratic join with a bounded
-  bucket-join.
+* ``lsh_bucketed_topk`` — a scale path: deterministic random-hyperplane
+  sign buckets (literal constants shared with the oracle SQL) with
+  Hamming-1 multi-probe; only same/probed-bucket candidates are scored.
+* ``ivf_topk`` — the data-adaptive scale path: nearest-centroid cells,
+  n_probe cell scan.
+At 10^10 rows both replace the quadratic join with bounded equi-joins.
 """
 
 from __future__ import annotations
@@ -49,7 +50,6 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 6,  # unused: raw doubles are cross-engine exact
 ) -> DataFrame:
     """Exact cosine top-k of ``emb`` rows per ``queries`` row.
 
@@ -87,7 +87,6 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
-    round_digits: int = 6,  # unused: raw doubles are cross-engine exact
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold.
 
