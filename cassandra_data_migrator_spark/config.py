@@ -36,6 +36,8 @@ class EngineConfig:
                                       # (TargetInsertStatement.java:128, WritetimeTTL.java:260-281)
 
     # --- filters (OriginSelectStatement.java:104-131)
+    min_token: int | None = None              # token-range restriction of the run
+    max_token: int | None = None              # (partition.min/max params, README.md:181-184)
     where_condition: str | None = None        # user filter (OriginFilterCondition.java:54-76)
     min_ts: str | None = None                 # writetime-range filter lo
     max_ts: str | None = None                 # writetime-range filter hi

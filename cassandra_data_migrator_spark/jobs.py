@@ -43,9 +43,20 @@ class RunResult:
 # --------------------------------------------------------------------- filters
 def apply_origin_filters(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Client-side filters of the reference's scan
-    (``OriginSelectStatement.java:104-131``): user WHERE condition,
-    writetime-range filter, column-value skip filter — all expressed as
-    Catalyst predicates so they push into the parquet scan."""
+    (``OriginSelectStatement.java:104-131``): token-range restriction,
+    user WHERE condition, writetime-range filter, column-value skip
+    filter — all expressed as Catalyst predicates so they push into the
+    parquet scan."""
+    if cfg.min_token is not None or cfg.max_token is not None:
+        # run restricted to a key-token range (partition.min/max params,
+        # OriginSelectByPartitionRangeStatement.java:52-56)
+        from .plans.partitions import token_expr
+
+        tok = token_expr(cfg.key_col)
+        if cfg.min_token is not None:
+            df = df.where(tok >= F.lit(int(cfg.min_token)))
+        if cfg.max_token is not None:
+            df = df.where(tok <= F.lit(int(cfg.max_token)))
     if cfg.where_condition:
         df = df.where(F.expr(cfg.where_condition))
     if cfg.min_ts:
@@ -356,15 +367,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--events", type=int, default=1_000_000)
     p.add_argument("--epoch-size", type=int, default=100_000)
     p.add_argument("--autocorrect", action="store_true")
+    p.add_argument("--coverage-percent", dest="coverage_percent", type=int, default=None)
+    p.add_argument("--min-token", dest="min_token", type=int, default=None)
+    p.add_argument("--max-token", dest="max_token", type=int, default=None)
+    p.add_argument("--ttl-col", dest="ttl_col", default=None)
     args = p.parse_args(argv)
 
     d = {}
     if args.config:
         with open(args.config) as f:
             d = json.load(f)
-    for k in ("lake_path", "changelog_path", "lineage_path"):
+    for k in ("lake_path", "changelog_path", "lineage_path",
+              "coverage_percent", "min_token", "max_token", "ttl_col"):
         v = getattr(args, k)
-        if v:
+        if v is not None and v != "":
             d[k] = v
     d.setdefault("epoch_size", args.epoch_size)
     cfg = EngineConfig.from_dict(d)

@@ -216,3 +216,21 @@ def test_lake_point_lookup_prunes_buckets(spark, events, tmp_path):
     some = sorted(all_rows)[:3]
     got = {r["url"]: r["seq"] for r in lake.lookup(some).collect()}
     assert got == {k: all_rows[k] for k in some}
+
+
+def test_token_range_restricted_ingest(spark, events, tmp_path):
+    """min/max-token restriction: only keys whose token falls in range
+    are ingested (partition.min/max param analog), and the full-range
+    ingest of the complement + range together equals the unrestricted
+    fold."""
+    from cassandra_data_migrator_spark.plans.partitions import TOKEN_SPACE, token_expr
+
+    mid = TOKEN_SPACE // 2
+    cfg = make_cfg(tmp_path, max_token=mid)
+    ingest(spark, cfg, changelog_df=events, mode="mor")
+    got = LakeTable(spark, cfg.lake_path).read()
+    full = expected_state(events, make_cfg(tmp_path / "unused"))
+    expected = full.where(token_expr("url") <= mid)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert got.count() < full.count()
