@@ -224,3 +224,16 @@ def format_timestamp(df: DataFrame, ts_col: str, out_col: str,
 
 def skip_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.drop(*cols)
+
+
+def pk_render(df: DataFrame, key_cols: list[str], out_col: str = "pk_str") -> DataFrame:
+    """Render the (composite) primary key as one diagnostic string:
+    ``[v1 %% v2 %% ...]`` with null components as ``null`` — the
+    ``EnhancedPK.toString`` report format used in diff/guardrail logs
+    (``data/EnhancedPK.java:155-166``)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in key_cols
+    ]
+    return df.withColumn(
+        out_col, F.concat(F.lit("["), F.concat_ws(" %% ", *parts), F.lit("]"))
+    )

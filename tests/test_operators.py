@@ -269,3 +269,11 @@ def test_multimodal_resize_and_frame_sample(spark):
     import hashlib
 
     assert frames[0]["frame_md5"] == hashlib.md5(b"x" * 256).hexdigest()
+
+
+def test_pk_render(spark):
+    df = spark.createDataFrame(
+        [("k1", 5, None), (None, 7, "x")], "a string, b int, c string"
+    )
+    out = {r["pk_str"] for r in transforms.pk_render(df, ["a", "b", "c"]).collect()}
+    assert out == {"[k1 %% 5 %% null]", "[null %% 7 %% x]"}
