@@ -604,6 +604,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set operations: nations that have customers but no
+    suppliers (EXCEPT), plus nations with both (INTERSECT), tagged and
+    unioned — the three ANSI set ops in one deterministic result."""
+    cust_n = t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    supp_n = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000.0)
+        .select(F.col("s_nationkey").alias("c_nationkey"))
+        .distinct()
+    )
+    only_cust = cust_n.exceptAll(supp_n).withColumn("tag", F.lit("cust_only"))
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both).select(
+        F.col("c_nationkey").alias("nationkey"), "tag"
+    )
+
+
+SQL_SET_OPS = """
+SELECT nationkey, 'cust_only' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > CAST(5000.0 AS DOUBLE)
+)
+UNION ALL
+SELECT nationkey, 'both' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > CAST(5000.0 AS DOUBLE)
+)
+"""
+
+
 # ===================================================================== TPC-H headliners
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary (scan+agg headline; exact decimal intermediates)."""
@@ -900,6 +933,26 @@ WITH toks AS (
 SELECT doc_id,
   CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on the fingerprint's top 8 bits,
+    Hamming <= 3 within blocks — deterministic, so fully oracle-paired."""
+    docs = t(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs, "text", "doc_id", bits=32, hash_mode="portable")
+    return dedup.simhash_near_pairs(fp, "doc_id", max_hamming=3, bits=32, prefix_bits=8)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH fp AS (
+{SQL_DEDUP_SIMHASH.replace('SELECT doc_id,', 'SELECT doc_id,', 1)}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b
+  ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -1292,6 +1345,7 @@ QUERIES: dict[str, QueryFn] = {
     "ttl_expiry": q_ttl_expiry,
     "sessionize": q_sessionize,
     "windowed_activity": q_windowed_activity,
+    "set_ops": q_set_ops,
     "skew_salted_agg": q_skew_salted_agg,
     # analytics headliners
     "tpch_q1": q_tpch_q1,
@@ -1304,6 +1358,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_topk": q_ann_topk,
@@ -1342,6 +1397,7 @@ ORACLES: dict[str, str] = {
     "ttl_expiry": SQL_TTL_EXPIRY,
     "sessionize": SQL_SESSIONIZE,
     "windowed_activity": SQL_WINDOWED_ACTIVITY,
+    "set_ops": SQL_SET_OPS,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
@@ -1352,6 +1408,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

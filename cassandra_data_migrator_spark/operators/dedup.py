@@ -237,7 +237,7 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
     )
 
