@@ -213,3 +213,34 @@ def test_ttl_expiry_read_and_compact(spark, tmp_path):
     lake.compact(expire_as_of="2024-01-05 00:00:00")
     remaining = {r["key"] for r in lake.read(include_tombstones=True).collect()}
     assert remaining == {"k2", "k3"}
+
+
+def test_concurrent_writer_fails_loudly(spark, tmp_path):
+    """A second writer racing the manifest swap must FAIL, not silently
+    discard the winner's commit (O_CREAT|O_EXCL version-file lock)."""
+    import os
+
+    df = _kvp(spark, [("k1", "v1", 1, 1, "U")])
+    lake = _mk_lake(spark, tmp_path / "lake", df)
+    lake.merge_cow(df, ["m1"])
+    v = lake.manifest().version
+    # simulate a concurrent writer that already created the next version
+    open(os.path.join(str(tmp_path / "lake"), "_manifests", f"v{v + 1:08d}.json"), "w").close()
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        lake.merge_cow(_kvp(spark, [("k2", "v2", 1, 2, "U")]), ["m2"])
+
+
+def test_merge_counter_partial_overlap_raises(spark, tmp_path):
+    """Re-summing counter deltas is never safe: a batch whose commit
+    keys partially overlap the applied set must raise."""
+    df = spark.createDataFrame(
+        [("k1", 5, 10, 1, "U")], "key string, cnt long, ts long, seq long, op string"
+    )
+    lake = _mk_lake(spark, tmp_path / "lake", df)
+    lake.merge_counter(df, ["c1"], counter_cols=["cnt"])
+    # full overlap: clean skip
+    res = lake.merge_counter(df, ["c1"], counter_cols=["cnt"])
+    assert not res.committed
+    # partial overlap: loud failure
+    with pytest.raises(ValueError, match="partially applied"):
+        lake.merge_counter(df, ["c1", "c2"], counter_cols=["cnt"])
