@@ -154,7 +154,19 @@ def lsh_candidate_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    # estimate computed BEFORE the dedup so the distinct shuffles three
+    # scalars per pair, not two signature arrays (est is a pure function
+    # of the pair, so duplicate band hits collapse identically)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -164,17 +176,10 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l._sig").alias("_sa"),
-            F.col("r._sig").alias("_sb"),
+            est.alias("est_jaccard"),
         )
         .distinct()
     )
-    est = (
-        F.size(F.filter(F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b), lambda x: x))
-        .cast("double")
-        / F.lit(float(num_hashes))
-    )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 # ------------------------------------------------------------------ simhash
