@@ -517,7 +517,8 @@ def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TTL_EXPIRY = """
 SELECT event_type, COUNT(*) AS n_alive FROM events
-WHERE epoch_ms(ts) + CAST(FLOOR(value) AS BIGINT) * 100000000
+WHERE FLOOR(value) IS NULL
+   OR epoch_ms(ts) + CAST(FLOOR(value) AS BIGINT) * 100000000
       > epoch_ms(TIMESTAMP '2024-02-01 00:00:00')
 GROUP BY event_type
 """
@@ -871,20 +872,34 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_MINHASH_SIG = _MINHASH_BASE_SQL
 
 
+# default LSH degenerate-bucket cap for the driver queries: buckets this
+# large are either degenerate band signatures or exact-dup swarms (which
+# exact_duplicate_groups handles in O(N)); without a cap one adversarial
+# near-constant corpus makes the bucket self-join quadratic (VERDICT r2 #2).
+# Mirrored literally in the oracle SQL via QUALIFY so parity holds.
+_LSH_MAX_BUCKET = 1000
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (bands of 2) with estimated jaccard."""
+    """MinHash-LSH candidate pairs (bands of 2) with estimated jaccard;
+    degenerate buckets capped at ``_LSH_MAX_BUCKET``."""
     docs = t(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
         hash_mode="portable",
     )
-    return dedup.lsh_candidate_pairs(sig, "doc_id", num_hashes=_MINHASH_K, bands=4)
+    return dedup.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_K, bands=4,
+        max_bucket_size=_LSH_MAX_BUCKET,
+    )
 
 
 def _minhash_pairs_sql() -> str:
     rows_per_band = _MINHASH_K // 4
     # band signature per band id, unioned (the SQL analog of the
-    # band-struct explode on the Spark side)
+    # band-struct explode on the Spark side); the QUALIFY mirrors the
+    # Spark-side max_bucket_size window filter (NULL band sigs group
+    # together here but never equi-join, so capping them is a no-op)
     unions = []
     for b in range(4):
         parts = " || ':' || ".join(
@@ -896,7 +911,10 @@ def _minhash_pairs_sql() -> str:
     )
     return f"""
 WITH sig AS ({_MINHASH_BASE_SQL}),
-banded AS ({' UNION ALL '.join(unions)}),
+banded AS (
+  SELECT * FROM ({' UNION ALL '.join(unions)})
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_sig) <= {_LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM banded l JOIN banded r
@@ -964,12 +982,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_lsh(
         docs, "text", "doc_id", n=_SHINGLE_N, threshold=0.12,
         num_hashes=_MINHASH_K, bands=4, hash_mode="portable",
+        max_bucket_size=_LSH_MAX_BUCKET,
     )
 
 
 def _ngram_jaccard_lsh_sql() -> str:
-    """Oracle replays the identical portable-hash banding, then exact
-    jaccard on the candidate pairs only."""
+    """Oracle replays the identical portable-hash banding (including the
+    max-bucket QUALIFY cap), then exact jaccard on the candidate pairs
+    only."""
     rows_per_band = _MINHASH_K // 4
     unions = []
     for b in range(4):
@@ -986,7 +1006,10 @@ WITH grams AS (
   SELECT doc_id,
   {_sig_select_sql()}
   FROM h
-), banded AS ({' UNION ALL '.join(unions)}),
+), banded AS (
+  SELECT * FROM ({' UNION ALL '.join(unions)})
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_sig) <= {_LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM banded l JOIN banded r

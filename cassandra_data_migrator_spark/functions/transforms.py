@@ -228,11 +228,11 @@ def skip_columns(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def pk_render(df: DataFrame, key_cols: list[str], out_col: str = "pk_str") -> DataFrame:
     """Render the (composite) primary key as one diagnostic string:
-    ``[v1 %% v2 %% ...]`` with null components as ``null`` — the
+    ``[v1 %% v2 %% ...]`` with null components as ``(null)`` — the
     ``EnhancedPK.toString`` report format used in diff/guardrail logs
-    (``data/EnhancedPK.java:155-166``)."""
+    (``data/EnhancedPK.java:155-166``; the null render is ``:160``)."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in key_cols
+        F.coalesce(F.col(c).cast("string"), F.lit("(null)")) for c in key_cols
     ]
     return df.withColumn(
         out_col, F.concat(F.lit("["), F.concat_ws(" %% ", *parts), F.lit("]"))

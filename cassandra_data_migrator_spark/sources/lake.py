@@ -126,10 +126,12 @@ class LakeTable:
            and the other fails loudly instead of silently discarding the
            winner's data files and applied keys.
 
-        A writer that crashed between creating ``v{N}.json`` and swapping
-        CURRENT leaves an orphan version file; its data was never
-        published, so the next commit fails here with a message naming
-        the orphan to delete.
+        The version file is written to a tmp path and published with
+        ``os.link`` (atomic; raises ``FileExistsError`` on a real
+        concurrent writer). A crash mid-write therefore leaves only an
+        ignorable ``*.tmp.*`` file, never a partial ``v{N}.json``; the
+        wedging window (complete-but-unswapped orphan) shrinks to the
+        instant between the link and the CURRENT swap.
         """
         cur = os.path.join(self._mdir, CURRENT_FILE)
         if os.path.exists(cur):
@@ -141,18 +143,21 @@ class LakeTable:
                 )
         os.makedirs(self._mdir, exist_ok=True)
         mpath = os.path.join(self._mdir, f"v{mf.version:08d}.json")
+        mtmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            f.write(mf.to_json())
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(mtmp, mpath)
         except FileExistsError:
             raise RuntimeError(
                 f"concurrent commit detected: manifest {mpath} already exists "
                 "(another writer, or an orphan from a crashed commit — "
                 "delete it to recover if no other writer is active)"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(mf.to_json())
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            os.unlink(mtmp)
         ctmp = cur + f".tmp.{uuid.uuid4().hex}"
         with open(ctmp, "w") as f:
             f.write(str(mf.version))

@@ -59,6 +59,9 @@ def stateful_lww_updates(
             best_ts, best_seq = None, None
         best_row = None
         for pdf in pdfs:
+            # null-ts rows can never win (batch LWW orders nulls smallest;
+            # pandas sort_values would place NaT LAST and crown it)
+            pdf = pdf.dropna(subset=[ts_col])
             if pdf.empty:
                 continue
             # vectorized winner of this chunk: lexicographic (ts, seq)

@@ -276,4 +276,4 @@ def test_pk_render(spark):
         [("k1", 5, None), (None, 7, "x")], "a string, b int, c string"
     )
     out = {r["pk_str"] for r in transforms.pk_render(df, ["a", "b", "c"]).collect()}
-    assert out == {"[k1 %% 5 %% null]", "[null %% 7 %% x]"}
+    assert out == {"[k1 %% 5 %% (null)]", "[(null) %% 7 %% x]"}
