@@ -141,11 +141,18 @@ def headline_queries(spark) -> dict[str, float]:
         "lang_id": lambda: QUERIES["lang_id"](spark, SF_DIR),
         "multimodal_meta": lambda: QUERIES["multimodal_meta"](spark, SF_DIR),
     }
+    # best-of-3, INTERLEAVED rounds (round-robin over all queries three
+    # times, min per query): the sandbox's ±40% timing noise drifts on
+    # multi-second scales, so interleaving decorrelates a slow phase from
+    # any single query — same protocol tools/bench_scaling.py already uses
     out: dict[str, float] = {}
-    for name, mk in cases.items():
-        t0 = time.time()
-        mk().count()
-        out[name] = round(time.time() - t0, 3)
+    for _round in range(3):
+        for name, mk in cases.items():
+            t0 = time.time()
+            mk().count()
+            dt = round(time.time() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     return out
 
 
@@ -168,11 +175,16 @@ def main() -> int:
         wal_dir,
     )
     # warm-up replay (first epoch only) absorbs one-time JVM/codegen
-    # costs; the timed window is best-of-2 to damp environment noise
+    # costs; the timed window is BEST-OF-3 full replays with the per-run
+    # spread recorded — the sandbox has ±40% run-to-run Spark noise
+    # (CLAUDE.md invariant), so a single sample is not evidence
     bench_cdc_replay(spark, n_events, epoch_size, wal_dir=wal_dir, limit_epochs=1)
-    cdc_sec, n = bench_cdc_replay(spark, n_events, epoch_size, wal_dir=wal_dir)
-    cdc_sec2, _ = bench_cdc_replay(spark, n_events, epoch_size, wal_dir=wal_dir)
-    cdc_sec = min(cdc_sec, cdc_sec2)
+    runs: list[float] = []
+    n = n_events
+    for _ in range(3):
+        sec, n = bench_cdc_replay(spark, n_events, epoch_size, wal_dir=wal_dir)
+        runs.append(round(sec, 3))
+    cdc_sec = min(runs)
     shutil.rmtree(os.path.dirname(wal_dir), ignore_errors=True)
     spark.catalog.clearCache()
     qtimes = headline_queries(spark)
@@ -185,6 +197,8 @@ def main() -> int:
         "sf": sf,
         "cpus": CPUS,
         "cdc_events": n,
+        "cdc_runs_sec": runs,
+        "protocol": "best-of-3 (replay spread recorded; queries interleaved)",
     }
     print(json.dumps(result))
     return 0

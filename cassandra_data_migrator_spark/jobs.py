@@ -371,6 +371,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-token", dest="min_token", type=int, default=None)
     p.add_argument("--max-token", dest="max_token", type=int, default=None)
     p.add_argument("--ttl-col", dest="ttl_col", default=None)
+    # run tracking + strategy + filters — the KnownProperties.java:26-498
+    # surface a second run actually needs from the command line
+    p.add_argument("--run-id", dest="run_id", type=int, default=None,
+                   help="lineage run id (trackRun.runId analog)")
+    p.add_argument("--prev-run-id", dest="prev_run_id", type=int, default=None,
+                   help="resume bookkeeping against this earlier run")
+    p.add_argument("--no-track-run", dest="track_run", action="store_false",
+                   default=None, help="disable run-details lineage writes")
+    p.add_argument("--lww-strategy", dest="lww_strategy",
+                   choices=["skinny", "max_by", "salted"], default="skinny")
+    p.add_argument("--where", dest="where_condition", default=None,
+                   help="user WHERE condition pushed into the scan")
+    p.add_argument("--filter-column", dest="filter_column", default=None)
+    p.add_argument("--filter-value", dest="filter_value", default=None)
+    p.add_argument("--guardrail-kb", dest="guardrail_col_size_kb", type=int,
+                   default=None, help="skip rows with any column larger than this")
     args = p.parse_args(argv)
 
     d = {}
@@ -378,7 +394,9 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.config) as f:
             d = json.load(f)
     for k in ("lake_path", "changelog_path", "lineage_path",
-              "coverage_percent", "min_token", "max_token", "ttl_col"):
+              "coverage_percent", "min_token", "max_token", "ttl_col",
+              "run_id", "prev_run_id", "track_run", "where_condition",
+              "filter_column", "filter_value", "guardrail_col_size_kb"):
         v = getattr(args, k)
         if v is not None and v != "":
             d[k] = v
@@ -391,7 +409,7 @@ def main(argv: list[str] | None = None) -> int:
                            num_partitions=cfg.num_partitions)
         wal.write_changelog(df, cfg.changelog_path)
     elif args.job == "ingest":
-        ingest(spark, cfg, mode=args.mode)
+        ingest(spark, cfg, mode=args.mode, lww_strategy=args.lww_strategy)
     elif args.job == "validate":
         validate(spark, cfg, autocorrect=args.autocorrect)
     elif args.job == "guardrail":
