@@ -235,6 +235,39 @@ FROM documents
 
 
 # ===================================================================== functions
+def q_explode_map_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 full map-explode analog (feature/ExplodeMap.java:181-201):
+    each map ENTRY becomes a row whose key joins the fanned-out target
+    PK (data/PKFactory.java:241-254). The map merges the parsed JSON
+    ``props`` with a second entry built from ``event_type`` so every
+    row genuinely fans out to multiple entries."""
+    ev = t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,string>"),
+        F.create_map(F.lit("type"), F.col("event_type")),
+    )
+    mapped = ev.select("event_id", m.alias("_props_map"))
+    out = transforms.explode_map(mapped, "_props_map", "prop_key", "prop_value")
+    # fanned-out PK: origin key + map key (PKFactory explode-map slot)
+    return out.withColumn(
+        "pk", F.concat_ws("|", F.col("event_id").cast("string"), "prop_key")
+    )
+
+
+SQL_EXPLODE_MAP_KV = """
+WITH kv AS (
+  SELECT event_id, k AS prop_key,
+    CAST(json_extract(props, '$.' || k) AS VARCHAR) AS prop_value
+  FROM events, unnest(json_keys(props)) AS t(k)
+  UNION ALL
+  SELECT event_id, 'type' AS prop_key, event_type AS prop_value FROM events
+)
+SELECT event_id, prop_key, prop_value,
+  CAST(event_id AS VARCHAR) || '|' || prop_key AS pk
+FROM kv
+"""
+
+
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 explode: token frequency top-20 (fan-out like ExplodeMap)."""
     docs = t(spark, sf_dir, "documents")
@@ -393,6 +426,28 @@ SELECT event_id,
   CAST(CAST(ts AS DATE) AS VARCHAR) AS date_text,
   CAST(user_id % 2 = 0 AS VARCHAR) AS bool_text,
   CAST(octet_length(encode(event_type)) AS BIGINT) AS blob_len
+FROM events
+"""
+
+
+def q_codec_ts_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 zone-aware TIMESTAMP→TEXT codec (TIMESTAMP_StringFormatCodec
+    .java:1-108 formats an Instant through a DateTimeFormatter WITH a
+    configured zone): the same instant rendered in UTC and in
+    Asia/Kolkata (+05:30 year-round — no DST rules to disagree on
+    between the JVM and ICU tz databases)."""
+    ev = t(spark, sf_dir, "events").withColumn("ts_t", F.col("ts").cast("timestamp"))
+    out = transforms.format_timestamp(ev, "ts_t", "ts_utc", "yyyy-MM-dd HH:mm:ss", "UTC")
+    out = transforms.format_timestamp(
+        out, "ts_t", "ts_kolkata", "yyyy-MM-dd HH:mm:ss", "Asia/Kolkata"
+    )
+    return out.select("event_id", "ts_utc", "ts_kolkata")
+
+
+SQL_CODEC_TS_ZONE = """
+SELECT event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_utc,
+  strftime(timezone('Asia/Kolkata', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ts_kolkata
 FROM events
 """
 
@@ -1354,6 +1409,8 @@ QUERIES: dict[str, QueryFn] = {
     "guardrail_counts": q_guardrail_counts,
     # functions (SURVEY §2.6)
     "explode_tokens": q_explode_tokens,
+    "explode_map_kv": q_explode_map_kv,
+    "codec_ts_zone": q_codec_ts_zone,
     "extract_json": q_extract_json,
     "constants_rename": q_constants_rename,
     "nested_cast": q_nested_cast,
@@ -1407,6 +1464,8 @@ ORACLES: dict[str, str] = {
     "guardrail_large": SQL_GUARDRAIL_LARGE,
     "guardrail_counts": SQL_GUARDRAIL_COUNTS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
+    "explode_map_kv": SQL_EXPLODE_MAP_KV,
+    "codec_ts_zone": SQL_CODEC_TS_ZONE,
     "extract_json": SQL_EXTRACT_JSON,
     "constants_rename": SQL_CONSTANTS_RENAME,
     "nested_cast": SQL_NESTED_CAST,

@@ -217,9 +217,13 @@ def cast_nested(
 
 def format_timestamp(df: DataFrame, ts_col: str, out_col: str,
                      fmt: str = "yyyy-MM-dd HH:mm:ss", zone: str = "UTC") -> DataFrame:
-    """TIMESTAMP↔formatted-TEXT codec (TIMESTAMP_StringFormatCodec
-    analog with pattern+zone)."""
-    return df.withColumn(out_col, F.date_format(F.to_utc_timestamp(F.col(ts_col), zone), fmt))
+    """TIMESTAMP↔formatted-TEXT codec: render the instant as wall-clock
+    text IN ``zone`` (TIMESTAMP_StringFormatCodec.java:1-108 formats an
+    Instant through a zoned DateTimeFormatter), so a non-UTC zone shifts
+    the rendered clock, not the instant."""
+    return df.withColumn(
+        out_col, F.date_format(F.from_utc_timestamp(F.col(ts_col), zone), fmt)
+    )
 
 
 def skip_columns(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -97,16 +97,22 @@ def ingest(
         lin.start_run(cfg.run_id, "MIGRATE", cfg.prev_run_id)
 
     applied = lake.applied_keys()
-    # one planning scan for the whole run: epoch -> key partitions present
-    # (SplitPartitions analog: the driver-side partition plan,
-    # job/SplitPartitions.java:32-76)
-    plan_rows = (
-        events.select("batch_epoch", "partition").distinct().collect()
-    )
-    plan: dict[int, list[int]] = {}
-    for r in plan_rows:
-        plan.setdefault(r[0], []).append(r[1])
-    epochs = sorted(plan)
+    # O(epochs) planning (SplitPartitions analog, job/SplitPartitions.java:
+    # 32-76): the epoch list comes from the WAL's ``batch_epoch=`` hive
+    # directories (metadata only — no event rows read) when this job owns
+    # the read; a caller-supplied DataFrame may carry filters the file
+    # listing can't see, so that path falls back to a single-column
+    # distinct (O(epochs) driver rows, never epochs x partitions).
+    if changelog_df is None and cfg.changelog_path:
+        epochs = _epochs_from_wal_dirs(cfg.changelog_path)
+    else:
+        epochs = sorted(r[0] for r in events.select("batch_epoch").distinct().collect())
+    # applied partitions per epoch, parsed from the manifest's commit keys
+    applied_by_epoch: dict[int, set[int]] = {}
+    for k in applied:
+        p, _, e = k.partition(":")
+        if p.isdigit() and e.isdigit():
+            applied_by_epoch.setdefault(int(e), set()).add(int(p))
     total = JobCounter()
     result = RunResult(counters=total)
     done = 0
@@ -156,24 +162,42 @@ def ingest(
 
     # flatten the epoch plan into commit slices (a resumed epoch
     # re-drives its pending partitions in finer groups — the
-    # rerunMultiplier analog, TrackRun.java:48-71)
+    # rerunMultiplier analog, TrackRun.java:48-71). Fresh epochs commit
+    # whole with keys over the CONFIGURED partition universe (no data
+    # read, no partition filter — every row of the epoch is applied);
+    # only a PARTIALLY applied epoch pays a lazy per-epoch distinct,
+    # which the batch_epoch= directory pruning limits to that epoch.
     slices: list[tuple[int, list[int], bool, DataFrame]] = []
     for epoch in epochs:
         batch = events.where(F.col("batch_epoch") == F.lit(epoch))
-        parts = sorted(plan[epoch])
-        pending = [p for p in parts if f"{p}:{epoch}" not in applied]
+        applied_parts = applied_by_epoch.get(epoch, set())
+        if not applied_parts:
+            slices.append((epoch, list(range(cfg.num_partitions)), True, batch))
+            continue
+        if applied_parts >= set(range(cfg.num_partitions)):
+            # whole configured universe committed -> skip with zero reads
+            # (a no-op rerun at the 10^10 regime must not rescan the WAL;
+            # assumes partition values < num_partitions, which the
+            # changelog writer guarantees)
+            result.epochs_skipped.append(epoch)
+            continue
+        # partially applied epoch: true partition list (union with applied
+        # keys so a universe written by a differently-configured run still
+        # counts)
+        parts = sorted(
+            {r[0] for r in batch.select("partition").distinct().collect()}
+            | applied_parts
+        )
+        pending = [p for p in parts if p not in applied_parts]
         if not pending:
             result.epochs_skipped.append(epoch)
             continue
-        if len(pending) == len(parts):
-            slices.append((epoch, pending, True, batch))
-        else:
-            g = max(1, min(cfg.rerun_multiplier, len(pending)))
-            for i in range(g):
-                grp = pending[i::g]
-                slices.append(
-                    (epoch, grp, i == g - 1, batch.where(F.col("partition").isin(grp)))
-                )
+        g = max(1, min(cfg.rerun_multiplier, len(pending)))
+        for i in range(g):
+            grp = pending[i::g]
+            slices.append(
+                (epoch, grp, i == g - 1, batch.where(F.col("partition").isin(grp)))
+            )
 
     need_compact = False
 
@@ -245,6 +269,22 @@ def ingest(
     result.lake_version = lake.manifest().version
     total.print_final("Migrate")
     return result
+
+
+def _epochs_from_wal_dirs(path: str) -> list[int]:
+    """Epoch plan from the WAL's hive layout (``batch_epoch=N`` dirs) —
+    pure metadata, zero event rows read. On an object store this is one
+    LIST call; here it's a local listdir."""
+    import os
+
+    epochs = []
+    for name in os.listdir(path):
+        if name.startswith("batch_epoch="):
+            try:
+                epochs.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(epochs)
 
 
 def _ensure_lake(spark: SparkSession, cfg: EngineConfig, events: DataFrame) -> LakeTable:

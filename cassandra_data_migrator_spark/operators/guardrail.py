@@ -19,12 +19,37 @@ from pyspark.sql import types as T
 from ..metrics import JobCounter
 
 
+# serialized widths of the fixed-length CQL codecs (CqlTable.java:327-340
+# measures codec-encoded bytes; these are the wire sizes those codecs emit)
+_FIXED_WIDTH = {
+    T.BooleanType: 1,
+    T.ByteType: 1,
+    T.ShortType: 2,
+    T.IntegerType: 4,
+    T.FloatType: 4,
+    T.DateType: 4,
+    T.LongType: 8,
+    T.DoubleType: 8,
+    T.TimestampType: 8,
+    T.TimestampNTZType: 8,
+}
+
+
 def _size_expr(field: T.StructField):
     c = F.col(field.name)
-    if isinstance(field.dataType, (T.StringType, T.BinaryType)):
+    dt = field.dataType
+    if isinstance(dt, (T.StringType, T.BinaryType)):
         return F.coalesce(F.octet_length(c), F.lit(0))
-    # fixed-width + other types: approximate with their string encoding,
-    # mirroring the reference's codec-encode-then-measure approach
+    if type(dt) in _FIXED_WIDTH:
+        # fixed-width codecs serialize to a constant size regardless of value
+        return F.when(c.isNull(), F.lit(0)).otherwise(F.lit(_FIXED_WIDTH[type(dt)]))
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        # collections/UDTs: measure the JSON encoding — content-
+        # proportional like the reference's per-element codec encode
+        # (CqlTable.java:327-340), unlike cast-to-string which Spark
+        # renders with lossy display formatting
+        return F.coalesce(F.octet_length(F.to_json(c)), F.lit(0))
+    # decimals + anything exotic: string encoding is content-proportional
     return F.coalesce(F.octet_length(c.cast("string")), F.lit(0))
 
 

@@ -185,6 +185,70 @@ def lsh_bucketed_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means coarse quantizer (fixed Lloyd
+    iterations) for a trained IVF index.
+
+    Seed-free init: the ``n_centroids`` lowest-id corpus vectors (the
+    same centroids the training-free ``ivf_topk`` default uses, so the
+    comparison isolates the training effect). Each iteration:
+
+    * **assign** — pure map-side argmax of ``dot(v, c/|c|)`` against
+      LITERAL centroid arrays (the centroid matrix is driver-held
+      metadata, ``n_centroids x dims`` doubles — never a join, never a
+      shuffle of the corpus);
+    * **update** — one ``groupBy(cell)`` of per-dimension ``avg`` with
+      map-side partial aggregation: the only shuffle per iteration is
+      ``n_centroids x dims`` partial sums per task.
+
+    Ties break to the lowest cell id; an emptied cell keeps its previous
+    centroid. At 10^10 rows this is ``iters`` scans + metadata shuffles.
+    """
+    dims = len(emb.select(vec_col).first()[0])
+    init = (
+        emb.where(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents: list[list[float]] = [[float(x) for x in r[1]] for r in init]
+
+    def unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5
+        return [x / n if n else 0.0 for x in c]
+
+    for _ in range(iters):
+        lits = [F.array(*[F.lit(x) for x in unit(c)]) for c in cents]
+        scored = F.array(
+            *[
+                F.struct(
+                    dot_expr(F.col(vec_col), lit).alias("d"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, lit in enumerate(lits)
+            ]
+        )
+        cell = (-F.array_max(scored)["nc"]).alias("_cid")
+        agg = (
+            emb.select(cell, F.col(vec_col).alias("_v"))
+            .groupBy("_cid")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"d{i}") for i in range(dims)])
+            .collect()
+        )
+        for row in agg:
+            cents[row["_cid"]] = [float(row[f"d{i}"]) for i in range(dims)]
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], "_cid int, _cemb array<double>"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -193,27 +257,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the data-adaptive
     counterpart to hyperplane LSH.
 
     Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors serve
-    as deterministic, training-free centroids (swapping in k-means
-    centroids changes only this tiny DataFrame, not the plan shape).
-    Every corpus row is assigned to its nearest centroid's cell via a
-    broadcast cross join + argmax (map-side, no shuffle of the corpus);
-    a query probes its ``n_probe`` nearest cells and scores only those
-    cells' members — a bounded cell equi-join, like the LSH bucket join
-    but adapting to the data's cluster structure.
+    as deterministic, training-free centroids; pass ``centroids``
+    (``_cid int, _cemb array`` — e.g. :func:`kmeans_centroids`) to swap
+    in a trained quantizer — only this tiny DataFrame changes, not the
+    plan shape. Every corpus row is assigned to its nearest centroid's
+    cell via a broadcast cross join + argmax (map-side, no shuffle of
+    the corpus); a query probes its ``n_probe`` nearest cells and scores
+    only those cells' members — a bounded cell equi-join, like the LSH
+    bucket join but adapting to the data's cluster structure.
     """
     from pyspark.sql import Window
 
-    cent = F.broadcast(
-        emb.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("_cid"),
-            F.col(vec_col).alias("_cemb"),
-            norm_expr(F.col(vec_col)).alias("_cn"),
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cemb")
         )
+    cent = F.broadcast(
+        centroids.select("_cid", "_cemb", norm_expr(F.col("_cemb")).alias("_cn"))
     )
 
     def ranked_cells(df: DataFrame, rank_col: str) -> DataFrame:

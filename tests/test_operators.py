@@ -249,6 +249,52 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall@5 {recall} below gate"
 
 
+def test_ann_ivf_trained_kmeans(spark):
+    """Trained IVF (deterministic spherical k-means, VERDICT r2 #9):
+    on a corpus WITH cluster structure, Lloyd-trained centroids beat the
+    training-free lowest-id quantizer at n_probe=1 (cells align with
+    the data's clusters so a query's true neighbors share its cell);
+    on the unclustered sf corpus the trained index still clears the
+    recall gate (training can't help data with no structure, but must
+    not hurt past noise)."""
+    import math
+    import os
+
+    dims, n_clusters, per = 16, 8, 100
+    rows = []
+    for c in range(n_clusters):
+        center = [math.sin(1.0 + c * 7 + d) * 5 for d in range(dims)]
+        for m in range(per):
+            vec = [center[d] + math.sin(c * 131 + m * 17 + d * 3) * 0.4
+                   for d in range(dims)]
+            rows.append((c * per + m, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where((F.col("vec_id") % per) == 3)  # one query per cluster
+
+    def recall(approx):
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in similarity.brute_force_topk(emb, qs, k=5).collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(exact & a) / len(exact)
+
+    untrained = recall(similarity.ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=1))
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, iters=4)
+    trained = recall(similarity.ivf_topk(emb, qs, k=5, n_probe=1, centroids=cents))
+    assert trained > untrained, f"k-means gained nothing: {trained} <= {untrained}"
+    assert trained >= 0.95
+
+    # non-inferiority on the (unclustered) sf corpus
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    semb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sqs = semb.where(F.col("vec_id") < 5)
+    sexact = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.brute_force_topk(semb, sqs, k=5).collect()}
+    scents = similarity.kmeans_centroids(semb, n_centroids=16, iters=2)
+    sa = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.ivf_topk(semb, sqs, k=5, centroids=scents).collect()}
+    assert len(sexact & sa) / len(sexact) >= 0.6
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\x89PNG", 8, 8)

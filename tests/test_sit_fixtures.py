@@ -154,6 +154,25 @@ def test_guardrail_sit(spark):
     assert offending.first()["key"] == "k2"
 
 
+def test_guardrail_collection_bytes(spark):
+    """Collections are sized by serialized (JSON) bytes, the encode
+    analog of CqlTable.java:327-340 — not by Spark's display cast.
+    A map whose JSON crosses 1 KB flags; a small one doesn't; fixed-
+    width scalars count their codec width, so a row of big ints never
+    trips a 1 KB threshold."""
+    from cassandra_data_migrator_spark.operators.guardrail import guardrail_check
+
+    big_map = {f"key_{i:04d}": "v" * 20 for i in range(40)}  # ~1.2 KB of JSON
+    df = spark.createDataFrame(
+        [("k1", {"a": "b"}, 2**62), ("k2", big_map, 2**62)],
+        "key string, props map<string,string>, big long",
+    )
+    offending, jc = guardrail_check(df, col_size_kb=1)
+    assert jc.get("LARGE") == 1 and jc.get("VALID") == 1
+    row = offending.first()
+    assert row["key"] == "k2" and row["_large_cols"] == ["props"]
+
+
 # --- SIT/regression/04_null_ts_in_pk: null key component replaced
 def test_null_ts_in_pk(spark, tmp_path):
     df = spark.createDataFrame(
