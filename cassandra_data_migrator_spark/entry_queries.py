@@ -986,6 +986,46 @@ JOIN sig sb ON sb.doc_id = id_b
 SQL_DEDUP_MINHASH_PAIRS = _minhash_pairs_sql()
 
 
+# incremental-dedup epoch split: doc_id < _INCR_SPLIT is the accumulated
+# index, >= is the arriving batch (the documents table has ids 0..499 at
+# every SF, so both sides are non-empty everywhere)
+_INCR_SPLIT = 400
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: candidate pairs ADDED by one
+    arriving batch against the accumulated signature index — pairs
+    internal to the index are never recomputed (the CDC-shaped dedup:
+    per-epoch cost is O(batch × bucket occupancy), not O(index²))."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
+        hash_mode="portable",
+    )
+    return dedup.incremental_lsh_pairs(
+        sig.where(F.col("doc_id") < _INCR_SPLIT),
+        sig.where(F.col("doc_id") >= _INCR_SPLIT),
+        "doc_id",
+        num_hashes=_MINHASH_K,
+        bands=4,
+        max_bucket_size=_LSH_MAX_BUCKET,
+    )
+
+
+def _incremental_pairs_sql() -> str:
+    # the full-recompute banding with the at-least-one-new predicate:
+    # incremental output == full pairs minus index-internal pairs
+    base = _minhash_pairs_sql()
+    return base.replace(
+        "AND l.doc_id < r.doc_id",
+        "AND l.doc_id < r.doc_id"
+        f" AND NOT (l.doc_id < {_INCR_SPLIT} AND r.doc_id < {_INCR_SPLIT})",
+    )
+
+
+SQL_DEDUP_INCREMENTAL = _incremental_pairs_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash)."""
     docs = t(spark, sf_dir, "documents")
@@ -1318,6 +1358,82 @@ FROM documents GROUP BY lang
 """
 
 
+_PIPE_MIN_QUALITY = 0.5
+
+
+def q_webtext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over the documents table: quality
+    score -> language ID -> quality filter -> exact dedup (keep lowest
+    doc_id per content hash) -> per-predicted-language token budget.
+
+    Scale shape: scoring/lang-ID/filter are pure map-side expressions
+    (the filter prunes BEFORE any shuffle); exact dedup is one window
+    over the content hash (hash-partitioned, no skew — md5 keys are
+    uniform); the final rollup is a partial-aggregated groupBy on a
+    handful of language keys. Two shuffles total for the whole pipeline
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = textops.lang_id(textops.quality_score(docs, "text"), "text")
+    kept = scored.where(F.col("quality") >= _PIPE_MIN_QUALITY)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    toks = textops.token_count(kept, "text")
+    return toks.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def _webtext_pipeline_sql() -> str:
+    # composed from the same building blocks as SQL_QUALITY_SCORE and
+    # SQL_LANG_ID; min/max over doubles are order-independent (no AVG —
+    # double summation order is engine-specific)
+    stop_arr = ", ".join(f"'{w}'" for w in textops.STOPWORDS_EN)
+    stripped = "text"
+    for p in [".", ",", "!", "?", ";", ":"]:
+        stripped = f"replace({stripped}, '{p}', '')"
+    hits = []
+    for lang, words in textops.LANG_STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(string_split(text, ' '), x -> list_contains([{arr}], x))) AS h_{lang}"
+        )
+    langs = list(textops.LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN h_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars, len(string_split(text, ' ')) AS n_toks,
+    length(text) - length({stripped}) AS punct,
+    len(list_filter(string_split(text, ' '), x -> list_contains([{stop_arr}], x))) AS stop_hits,
+    {', '.join(hits)}
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_toks,
+    least(CAST(n_toks AS DOUBLE) / 64.0, 1.0) * 0.4
+      + least(CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE) * 5.0, 1.0) * 0.3
+      + (1.0 - least(CAST(punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.3 AS quality,
+    CASE WHEN {m} = 0 THEN 'unknown' {case.replace('= m THEN', f'= {m} THEN')} END AS lang_pred
+  FROM base
+), kept AS (
+  SELECT * FROM scored
+  WHERE quality >= {_PIPE_MIN_QUALITY}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT lang_pred, COUNT(*) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM kept GROUP BY lang_pred
+"""
+
+
+SQL_WEBTEXT_PIPELINE = _webtext_pipeline_sql()
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return textops.fingerprint(docs, "text", "doc_id", hash_mode="portable")
@@ -1437,6 +1553,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1451,6 +1568,7 @@ QUERIES: dict[str, QueryFn] = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "webtext_pipeline": q_webtext_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1489,6 +1607,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
@@ -1503,4 +1622,5 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "webtext_pipeline": SQL_WEBTEXT_PIPELINE,
 }

