@@ -225,6 +225,11 @@ def main() -> int:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(out, f, indent=2)
+    # every attempt is appended here so a degraded-box run can never
+    # clobber the evidence of record (BASELINE.md below is "latest
+    # attempt"; the adopted run is hand-curated from this history)
+    with open(os.path.join(REPO, "BENCH", "history.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
     md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 going from N
