@@ -74,3 +74,72 @@ class EngineConfig:
         cfg = cls(**kw)
         cfg.extra.update(rest)
         return cfg
+
+    @classmethod
+    def from_properties(cls, path: str) -> "EngineConfig":
+        """Load a CDM-style ``cdm.properties`` file.
+
+        The official ``spark.cdm.*`` keys (KnownProperties.java:26-498,
+        src/resources/cdm-detailed.properties) that survive the
+        Spark-first re-design map onto dataclass fields via
+        ``PROPERTY_MAP``; every other ``spark.cdm.*`` key is preserved
+        verbatim in ``extra`` (never an error — a CDM user's existing
+        file should load as-is). Values are coerced to the target
+        field's type; native field names are accepted too."""
+        props: dict[str, str] = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(("#", "!")):
+                    continue
+                if "=" in line:
+                    k, _, v = line.partition("=")
+                elif ":" in line:
+                    k, _, v = line.partition(":")
+                else:
+                    continue
+                props[k.strip()] = v.strip()
+
+        types = {f.name: f.type for f in fields(cls)}
+
+        def coerce(field_name: str, raw: str):
+            t = str(types.get(field_name, "str"))
+            if t.startswith("bool"):
+                return raw.lower() in ("true", "1", "yes")
+            if t.startswith("int"):
+                return int(raw)
+            return raw
+
+        d: dict = {}
+        for key, raw in props.items():
+            field_name = PROPERTY_MAP.get(key, key if key in types else None)
+            if field_name is None:
+                d[key] = raw       # preserved in extra by from_dict
+            else:
+                d[field_name] = coerce(field_name, raw)
+        return cls.from_dict(d)
+
+
+# spark.cdm.* -> EngineConfig field (KnownProperties.java:26-498).
+# Connection/TLS/consistency/rate-limit keys have no analog here (no
+# Cassandra driver; Catalyst owns fetch/batch sizing) and land in
+# ``extra`` untouched.
+PROPERTY_MAP: dict[str, str] = {
+    "spark.cdm.perfops.numParts": "num_partitions",
+    "spark.cdm.filter.cassandra.partition.min": "min_token",
+    "spark.cdm.filter.cassandra.partition.max": "max_token",
+    "spark.cdm.filter.cassandra.whereCondition": "where_condition",
+    "spark.cdm.filter.java.token.percent": "coverage_percent",
+    "spark.cdm.filter.java.writetime.min": "min_ts",
+    "spark.cdm.filter.java.writetime.max": "max_ts",
+    "spark.cdm.filter.java.column.name": "filter_column",
+    "spark.cdm.filter.java.column.value": "filter_value",
+    "spark.cdm.feature.guardrail.colSizeInKB": "guardrail_col_size_kb",
+    "spark.cdm.trackRun": "track_run",
+    "spark.cdm.trackRun.runId": "run_id",
+    "spark.cdm.trackRun.previousRunId": "prev_run_id",
+    "spark.cdm.trackRun.rerunMultiplier": "rerun_multiplier",
+    "spark.cdm.autocorrect.missing": "autocorrect_missing",
+    "spark.cdm.autocorrect.mismatch": "autocorrect_mismatch",
+    "spark.cdm.schema.origin.column.ttl.names": "ttl_col",
+}

@@ -400,6 +400,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdm-spark")
     p.add_argument("job", choices=["ingest", "validate", "guardrail", "generate"])
     p.add_argument("--config", help="JSON config file", default=None)
+    p.add_argument("--properties", default=None,
+                   help="CDM-style cdm.properties file (spark.cdm.* keys; "
+                        "KnownProperties.java analog). Precedence: "
+                        "properties < --config JSON < explicit flags")
     p.add_argument("--lake", dest="lake_path")
     p.add_argument("--changelog", dest="changelog_path")
     p.add_argument("--lineage", dest="lineage_path", default="")
@@ -430,9 +434,16 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     d = {}
+    if args.properties:
+        pcfg = EngineConfig.from_properties(args.properties)
+        from dataclasses import asdict
+
+        defaults = asdict(EngineConfig())
+        d = {k: v for k, v in asdict(pcfg).items() if v != defaults.get(k)}
+        d.pop("extra", None)
     if args.config:
         with open(args.config) as f:
-            d = json.load(f)
+            d.update(json.load(f))
     for k in ("lake_path", "changelog_path", "lineage_path",
               "coverage_percent", "min_token", "max_token", "ttl_col",
               "run_id", "prev_run_id", "track_run", "where_condition",

@@ -77,6 +77,60 @@ def test_cli_no_track_run(spark, workdir):
     assert lin.details().count() == 0
 
 
+def test_properties_file_loading(tmp_path):
+    """A CDM-user's cdm.properties loads as-is: mapped keys drive the
+    typed config, unmapped spark.cdm.* keys are preserved in extra."""
+    from cassandra_data_migrator_spark.config import EngineConfig
+
+    pfile = tmp_path / "cdm.properties"
+    pfile.write_text(
+        "# migration of devices.sensor_data\n"
+        "spark.cdm.perfops.numParts=5000\n"
+        "spark.cdm.filter.cassandra.partition.min=-9223372036854775808\n"
+        "spark.cdm.filter.cassandra.whereCondition=seq % 2 = 0\n"
+        "spark.cdm.filter.java.token.percent=25\n"
+        "spark.cdm.feature.guardrail.colSizeInKB=64\n"
+        "spark.cdm.trackRun=false\n"
+        "spark.cdm.trackRun.runId=7\n"
+        "spark.cdm.autocorrect.mismatch=true\n"
+        "spark.cdm.connect.origin.host=localhost\n"   # no analog -> extra
+        "spark.cdm.perfops.ratelimit.origin=20000\n"  # no analog -> extra
+        "epoch_size=2500\n"                           # native field name
+    )
+    cfg = EngineConfig.from_properties(str(pfile))
+    assert cfg.num_partitions == 5000
+    assert cfg.min_token == -(2**63)
+    assert cfg.where_condition == "seq % 2 = 0"
+    assert cfg.coverage_percent == 25
+    assert cfg.guardrail_col_size_kb == 64
+    assert cfg.track_run is False and cfg.run_id == 7
+    assert cfg.autocorrect_mismatch is True
+    assert cfg.epoch_size == 2500
+    assert cfg.extra["spark.cdm.connect.origin.host"] == "localhost"
+    assert cfg.extra["spark.cdm.perfops.ratelimit.origin"] == "20000"
+
+
+def test_cli_properties_flag(spark, workdir, tmp_path):
+    """--properties drives an ingest; explicit flags take precedence."""
+    pfile = tmp_path / "cdm.properties"
+    pfile.write_text(
+        "spark.cdm.trackRun.runId=5\n"
+        "spark.cdm.filter.cassandra.whereCondition=seq % 2 = 0\n"
+    )
+    assert jobs.main([
+        "ingest", "--changelog", workdir["wal"], "--lake", workdir["lake"],
+        "--lineage", workdir["lineage"], "--properties", str(pfile),
+        "--run-id", "9",   # flag overrides the file's runId=5
+    ]) == 0
+    lin = LineageStore(spark, workdir["lineage"])
+    assert lin.latest_run_id() == 9
+    from cassandra_data_migrator_spark.sources.lake import LakeTable
+
+    landed = LakeTable(spark, workdir["lake"]).read()
+    assert landed.count() > 0
+    assert landed.where("seq % 2 = 1").count() == 0
+
+
 def test_cli_where_and_guardrail_filters(spark, workdir, tmp_path):
     # a WHERE condition plus a guardrail cap must reduce what lands in
     # the lake vs an unfiltered ingest of the same WAL
