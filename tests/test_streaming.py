@@ -167,3 +167,60 @@ def test_windowed_activity_streaming_append_with_watermark(spark, tmp_path):
     # only bound it loosely; the per-window <= check above is the strict
     # contract
     assert emitted >= 0.5 * batch_total
+
+
+def test_stream_dedup_incremental_index(spark, tmp_path):
+    """Streaming near-dup: the union of per-micro-batch candidate pairs
+    must equal a full batch recompute over all live docs, with each
+    pair emitted exactly once (the index is never re-paired); a
+    checkpointed rerun must change nothing."""
+    import datetime
+
+    from cassandra_data_migrator_spark.operators import dedup
+    from cassandra_data_migrator_spark.streaming.dedup import stream_dedup
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    base = " ".join(f"tok{j}" for j in range(40))
+    rows, seq = [], 0
+    for ep in range(3):
+        for i in range(2):
+            # family A: near-identical across every epoch (pairs must be
+            # found both within a batch and vs earlier batches)
+            rows.append((seq, 0, "I", f"https://a/{ep}/{i}", ts, None,
+                         base + f" v{ep}{i}", "en", ep)); seq += 1
+            # family B: unique text per doc (no pairs)
+            rows.append((seq, 0, "I", f"https://b/{ep}/{i}", ts, None,
+                         " ".join(f"u{ep}{i}x{j}" for j in range(40)), "en", ep)); seq += 1
+    df = spark.createDataFrame(rows, WAL_SCHEMA)
+    wal_dir = str(tmp_path / "wal")
+    df.coalesce(1).write.partitionBy("batch_epoch").parquet(wal_dir)
+
+    cfg = EngineConfig(changelog_path=wal_dir)
+    index_dir, pairs_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    stream_dedup(spark, cfg, str(tmp_path / "ckpt"), index_dir, pairs_dir,
+                 max_files_per_trigger=1)
+
+    got = spark.read.parquet(pairs_dir)
+    # exactly once per pair across all micro-batches
+    assert got.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
+    # equals the full batch recompute over all live docs
+    sig = dedup.minhash_signature(
+        df.select("url", "text"), "text", "url", num_hashes=16, hash_mode="fast"
+    )
+    full = dedup.lsh_candidate_pairs(sig, "url", num_hashes=16, bands=8,
+                                     max_bucket_size=1000)
+    as_set = lambda d: {(r["id_a"], r["id_b"]) for r in d.collect()}  # noqa: E731
+    assert as_set(got) == as_set(full)
+    assert len(as_set(got)) > 0
+    # family-A cross-epoch pairs were really found
+    assert any(a.startswith("https://a/0/") and b.startswith("https://a/2/")
+               for a, b in as_set(got))
+    # index holds one signature row per live doc, partitioned by batch
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 12 and idx.select("batch_id").distinct().count() == 3
+    # checkpointed rerun: nothing re-emitted, index unchanged
+    stream_dedup(spark, cfg, str(tmp_path / "ckpt"), index_dir, pairs_dir,
+                 max_files_per_trigger=1)
+    assert as_set(spark.read.parquet(pairs_dir)) == as_set(full)
+    assert spark.read.parquet(index_dir).count() == 12
