@@ -103,3 +103,67 @@ def test_lake_merge_idempotent_under_reapplication(spark, tmp_path_factory, evs)
     lake.merge_cow(df, ["b2"])  # new key: re-resolves to the same winners
     snap2 = sorted(tuple(r) for r in lake.read().collect())
     assert snap1 == snap2
+
+
+# ------------------------------------------------------- incremental dedup
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8)
+    .map(" ".join),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _py_lsh_pairs(texts: dict[int, str], num_hashes=8, bands=4, n=3) -> set:
+    """Python reference model of shingle->portable-minhash->band pairs
+    (mirrors dedup.minhash_signature + banded_signatures semantics:
+    empty-shingle docs dropped)."""
+    from cassandra_data_migrator_spark.functions.hashes import minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    rows_per = num_hashes // bands
+    buckets: dict = {}
+    for i, txt in texts.items():
+        toks = txt.split(" ")
+        grams = list(dict.fromkeys(
+            " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+        ))
+        if not grams:
+            continue
+        hs = [portable_hash_py(g) for g in grams]
+        sig = [min((h * a + b) % P_MOD for h in hs) for a, b in coeffs]
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per:(b + 1) * rows_per]))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        pairs.update((x, y) for x in ids for y in ids if x < y)
+    return pairs
+
+
+@given(docs_strategy, st.integers(min_value=1, max_value=13))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_lsh_matches_python_model(spark, texts, split_raw):
+    """incremental_lsh_pairs == the Python banded-LSH model's pairs
+    restricted to at-least-one-new, for ANY corpus and split point."""
+    from cassandra_data_migrator_spark.operators import dedup
+
+    corpus = dict(enumerate(texts))
+    split = min(split_raw, len(corpus) - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    sig = dedup.minhash_signature(
+        df, "text", "doc_id", num_hashes=8, hash_mode="portable"
+    )
+    inc = dedup.incremental_lsh_pairs(
+        sig.where(f"doc_id < {split}"), sig.where(f"doc_id >= {split}"),
+        "doc_id", num_hashes=8, bands=4,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    expect = {
+        (a, b) for a, b in _py_lsh_pairs(corpus)
+        if not (a < split and b < split)
+    }
+    assert got == expect
