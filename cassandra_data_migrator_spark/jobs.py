@@ -398,7 +398,9 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     p = argparse.ArgumentParser(prog="cdm-spark")
-    p.add_argument("job", choices=["ingest", "validate", "guardrail", "generate"])
+    p.add_argument(
+        "job", choices=["ingest", "validate", "guardrail", "generate", "dedup"]
+    )
     p.add_argument("--config", help="JSON config file", default=None)
     p.add_argument("--properties", default=None,
                    help="CDM-style cdm.properties file (spark.cdm.* keys; "
@@ -431,6 +433,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--filter-value", dest="filter_value", default=None)
     p.add_argument("--guardrail-kb", dest="guardrail_col_size_kb", type=int,
                    default=None, help="skip rows with any column larger than this")
+    p.add_argument("--index", dest="index_dir", default=None,
+                   help="dedup: signature-index directory (grows per batch)")
+    p.add_argument("--pairs", dest="pairs_dir", default=None,
+                   help="dedup: candidate-pair output directory")
+    p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
+                   help="dedup: streaming checkpoint directory")
     args = p.parse_args(argv)
 
     d = {}
@@ -465,6 +473,21 @@ def main(argv: list[str] | None = None) -> int:
         validate(spark, cfg, autocorrect=args.autocorrect)
     elif args.job == "guardrail":
         guardrail(spark, cfg)
+    elif args.job == "dedup":
+        # incremental near-dup detection over the WAL: each drained
+        # micro-batch pairs only against earlier batches' signatures
+        from .streaming.dedup import stream_dedup
+
+        if not (args.index_dir and args.pairs_dir and args.checkpoint_dir):
+            p.error("dedup requires --index, --pairs and --checkpoint")
+        stream_dedup(
+            spark, cfg, args.checkpoint_dir, args.index_dir, args.pairs_dir
+        )
+        try:
+            n = spark.read.parquet(args.pairs_dir).count()
+        except Exception:  # no batch emitted any pair -> nothing written
+            n = 0
+        print(f"Final Candidate Pair Count: {n}")
     return 0
 
 

@@ -145,3 +145,33 @@ def test_cli_where_and_guardrail_filters(spark, workdir, tmp_path):
     filtered = LakeTable(spark, lake2).read()
     assert filtered.count() > 0
     assert filtered.where("seq % 2 = 1").count() == 0
+
+
+def test_cli_dedup_job(spark, workdir, tmp_path):
+    """The dedup subcommand drains the WAL, emits a pair count, and a
+    checkpointed rerun is a no-op (same pairs, no duplicates)."""
+    args = [
+        "dedup", "--changelog", workdir["wal"],
+        "--index", str(tmp_path / "idx"), "--pairs", str(tmp_path / "prs"),
+        "--checkpoint", str(tmp_path / "ck"),
+    ]
+    assert jobs.main(args) == 0
+
+    def pair_count():
+        try:
+            df = spark.read.parquet(str(tmp_path / "prs"))
+        except Exception:  # zero pairs -> no parquet files written
+            return 0
+        assert df.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
+        return df.count()
+
+    n = pair_count()
+    # the template WAL has no cross-url near-dups (same-url revisions
+    # are excluded by id), so any n >= 0 is fine — the semantics are
+    # covered by test_streaming.test_stream_dedup_incremental_index;
+    # here the contract is: checkpointed rerun changes nothing
+    assert jobs.main(args) == 0
+    assert pair_count() == n
+    # the signature index grew one partition per drained micro-batch
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.count() > 0 and "batch_id" in idx.columns
