@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .config import EngineConfig
+from .features import apply_features
 from .lineage import LineageStore
 from .metrics import JobCounter
 from .operators.diff import STATUS_COL, corrections, diff, diff_counters
@@ -138,6 +139,9 @@ def ingest(
         obs_write = Observation()
         filtered = filtered.observe(obs_write, F.count(F.lit(1)).alias("passed"))
         deduped = dedup_fn(filtered.drop("partition", "batch_epoch"))
+        # config-driven feature steps on the winners (Featureset analog;
+        # same pipeline re-applied by expected_state for verification)
+        deduped = apply_features(deduped, cfg)
         return deduped, obs_read, obs_write
 
     def finish_slice(parts_slice, epoch, obs_read, obs_write, commit_fn):
@@ -288,7 +292,11 @@ def _epochs_from_wal_dirs(path: str) -> list[int]:
 
 
 def _ensure_lake(spark: SparkSession, cfg: EngineConfig, events: DataFrame) -> LakeTable:
-    base_schema = events.drop("partition", "batch_epoch").schema
+    # the table's shape is the POST-feature schema (constant/extracted
+    # columns exist from the first commit; renames/skips applied)
+    base_schema = apply_features(
+        events.drop("partition", "batch_epoch").limit(0), cfg
+    ).schema
     return LakeTable.create(
         spark,
         cfg.lake_path,
@@ -316,6 +324,7 @@ def expected_state(
             F.size("_large_cols") == 0
         ).drop("_large_cols")
     folded = lww_dedup(ev.drop("partition", "batch_epoch"), cfg.key_col, cfg.ts_col, cfg.seq_col)
+    folded = apply_features(folded, cfg)
     if not include_tombstones:
         # null-safe: NULL-op rows (e.g. corrections) are live, matching
         # LakeTable.read — asymmetric filters here would report phantom diffs
@@ -446,9 +455,10 @@ def main(argv: list[str] | None = None) -> int:
         pcfg = EngineConfig.from_properties(args.properties)
         from dataclasses import asdict
 
+        # keep non-default fields AND the extra dict (unmapped
+        # spark.cdm.* keys — the feature pipeline reads them)
         defaults = asdict(EngineConfig())
         d = {k: v for k, v in asdict(pcfg).items() if v != defaults.get(k)}
-        d.pop("extra", None)
     if args.config:
         with open(args.config) as f:
             d.update(json.load(f))

@@ -175,3 +175,51 @@ def test_cli_dedup_job(spark, workdir, tmp_path):
     # the signature index grew one partition per drained micro-batch
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert idx.count() > 0 and "batch_id" in idx.columns
+
+
+def test_feature_pipeline_unit(spark):
+    """Featureset analog: property keys build the extract/constant/
+    rename/skip steps in order."""
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.features import apply_features
+
+    cfg = EngineConfig()
+    cfg.extra.update({
+        "spark.cdm.feature.extractJson.originColumn": "payload",
+        "spark.cdm.feature.extractJson.propertyMapping": "age:age_col",
+        "spark.cdm.feature.constantColumns.names": "tenant,region",
+        "spark.cdm.feature.constantColumns.values": "prod;eu",
+        "spark.cdm.feature.constantColumns.splitRegex": ";",
+        "spark.cdm.schema.origin.column.names.to.target": "old_name:new_name",
+        "spark.cdm.schema.origin.column.skip": "payload",
+    })
+    df = spark.createDataFrame(
+        [('{"age": "41"}', "x")], "payload string, old_name string"
+    )
+    out = apply_features(df, cfg)
+    row = out.first()
+    assert row["age_col"] == "41" and row["tenant"] == "prod" and row["region"] == "eu"
+    assert row["new_name"] == "x" and "payload" not in out.columns
+
+
+def test_cli_features_from_properties(spark, workdir, tmp_path):
+    """SIT-style: constantColumns + column skip from a properties file
+    apply during ingest, and validate (which re-derives expected state
+    under the same feature set) stays green."""
+    pfile = tmp_path / "cdm.properties"
+    pfile.write_text(
+        "spark.cdm.feature.constantColumns.names=tenant\n"
+        "spark.cdm.feature.constantColumns.values=prod\n"
+        "spark.cdm.schema.origin.column.skip=html\n"
+    )
+    lake = str(tmp_path / "lakef")
+    common = ["--changelog", workdir["wal"], "--lake", lake,
+              "--properties", str(pfile)]
+    assert jobs.main(["ingest"] + common) == 0
+    from cassandra_data_migrator_spark.sources.lake import LakeTable
+
+    landed = LakeTable(spark, lake).read()
+    assert "html" not in landed.columns
+    assert landed.where("tenant = 'prod'").count() == landed.count() > 0
+    # the verify fold applies the same pipeline -> no phantom diffs
+    assert jobs.main(["validate"] + common) == 0
