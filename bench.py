@@ -142,6 +142,7 @@ def headline_queries(spark) -> dict[str, float]:
         "multimodal_meta": lambda: QUERIES["multimodal_meta"](spark, SF_DIR),
         "dedup_incremental": lambda: QUERIES["dedup_incremental"](spark, SF_DIR),
         "webtext_pipeline": lambda: QUERIES["webtext_pipeline"](spark, SF_DIR),
+        "asof_state": lambda: QUERIES["asof_state"](spark, SF_DIR),
     }
     # best-of-3, INTERLEAVED rounds (round-robin over all queries three
     # times, min per query): the sandbox's ±40% timing noise drifts on

@@ -1434,6 +1434,43 @@ FROM kept GROUP BY lang_pred
 SQL_WEBTEXT_PIPELINE = _webtext_pipeline_sql()
 
 
+def q_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: every event carries the value and time of
+    the latest at-or-before 'purchase' by the same user (nulls when no
+    prior purchase). Union-merge as-of join — one shuffle + sort, never
+    a range-join pair explosion; oracle is DuckDB's native ASOF LEFT
+    JOIN on the identically tie-collapsed right side."""
+    from .operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    # right side unique per (user_id, ts): keep the max-event_id row
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.struct(F.col("event_id"), F.col("value")).alias("_pick"),
+    ).groupBy("user_id", "ts").agg(F.max("_pick").alias("_pick")).select(
+        "user_id", "ts", F.col("_pick.value").alias("value")
+    )
+    return asof_join(
+        left, purchases, ["user_id"], "ts",
+        carry_cols={"value": "last_purchase_value"},
+        carry_ts_as="last_purchase_ts",
+    )
+
+
+SQL_ASOF_STATE = """
+WITH r AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+  r.ts AS last_purchase_ts, r.value AS last_purchase_value
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return textops.fingerprint(docs, "text", "doc_id", hash_mode="portable")
@@ -1569,6 +1606,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "webtext_pipeline": q_webtext_pipeline,
+    "asof_state": q_asof_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -1623,4 +1661,5 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,
+    "asof_state": SQL_ASOF_STATE,
 }

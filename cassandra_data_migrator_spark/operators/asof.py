@@ -1,0 +1,71 @@
+"""Point-in-time (as-of) join — a custom operator Spark lacks.
+
+For every left row, attach the columns of the LATEST right row with
+``right.ts <= left.ts`` for the same key (inclusive), or nulls if no
+prior right row exists — the "state as of event time" lookup a CDC
+lake needs for point-in-time queries (reference analog: none; CDM has
+no joins beyond PK point lookups, SURVEY §2.3).
+
+Implementation is the union-merge shape, NOT a range join:
+
+* tag both sides, union on an aligned schema,
+* one shuffle on the key, one sort by ``(ts, side)`` (right rows sort
+  BEFORE left rows at equal ts => inclusive semantics),
+* carry the matched right row forward as ONE struct with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding running
+  window — the struct is non-null whenever a match exists, so right
+  rows whose payload columns are themselves NULL still match (exactly
+  DuckDB ASOF LEFT JOIN semantics),
+* keep the left rows.
+
+Cost is one shuffle + sort of |L| + |R| rows — linear, skew-bounded by
+the key distribution. A naive ``l.ts >= r.ts`` range join explodes to
+|L|x|R| per key before its per-row argmax; the window form never
+materializes a pair.
+
+The right side must be unique per ``(key, ts)`` — pre-collapse ties
+(e.g. keep the max-seq row) before calling, as the oracle's ASOF JOIN
+demands the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    carry_cols: dict[str, str],
+    carry_ts_as: str | None = None,
+) -> DataFrame:
+    """As-of join: left rows + the latest right row at-or-before each
+    left row's ``ts_col`` per key.
+
+    ``carry_cols`` maps right-side column -> output column name;
+    ``carry_ts_as`` optionally emits the matched right row's timestamp.
+    """
+    match_struct = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(src).alias(dst) for src, dst in carry_cols.items()],
+    )
+    r = right.select(
+        *key_cols, F.col(ts_col), match_struct.alias("_m")
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_mm", F.last("_m", ignorenulls=True).over(w))
+    return matched.where(F.col("_side") == 1).select(
+        *left.columns,
+        *([F.col("_mm")["_ts"].alias(carry_ts_as)] if carry_ts_as else []),
+        *[F.col("_mm")[dst].alias(dst) for dst in carry_cols.values()],
+    )

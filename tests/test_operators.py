@@ -371,3 +371,37 @@ def test_pk_render(spark):
     )
     out = {r["pk_str"] for r in transforms.pk_render(df, ["a", "b", "c"]).collect()}
     assert out == {"[k1 %% 5 %% (null)]", "[(null) %% 7 %% x]"}
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Inclusive at-or-before match, nulls when no prior right row, a
+    NULL right payload still matches, and the plan is the union-window
+    shape (one shuffle, never a pair-exploding join)."""
+    import datetime
+
+    from cassandra_data_migrator_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", T(5)), (2, "u", T(10)), (3, "u", T(2)), (4, "v", T(9))],
+        "eid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(5), 50.0), ("u", T(8), None), ("w", T(1), 9.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = asof_join(left, right, ["k"], "ts", {"val": "last_val"},
+                    carry_ts_as="match_ts")
+    rows = {r["eid"]: (r["match_ts"], r["last_val"]) for r in out.collect()}
+    assert rows[1] == (T(5), 50.0)        # inclusive: ts == right ts matches
+    assert rows[2] == (T(8), None)        # later right row wins; NULL payload carried
+    assert rows[3] == (None, None)        # no prior right row
+    assert rows[4] == (None, None)        # key with no right rows at all
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # AQE prints Final and Initial plans; count the final one only
+    final = plan.split("== Initial Plan ==")[0]
+    assert sum(1 for ln in final.splitlines()
+               if "Exchange hashpartitioning" in ln) == 1, plan

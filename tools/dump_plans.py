@@ -214,6 +214,16 @@ def main() -> int:
         trim(wp_lines, 20),
     ))
 
+    asf = QUERIES["asof_state"](spark, SF)
+    sections.append((
+        "asof_state — point-in-time join as union + running-last window",
+        "No range join anywhere: both sides union, shuffle ONCE on the "
+        "key, sort by (ts, side), and a running last(ignorenulls) window "
+        "carries the matched right row forward. Linear in |L|+|R|; a "
+        "naive l.ts >= r.ts join would materialize |L|x|R| pairs per key.",
+        trim(fmt(spark, asf, "simple"), 18),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
