@@ -24,7 +24,9 @@ matches a from-scratch recompute under the active feature set.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 
@@ -67,8 +69,11 @@ def feature_pipeline(cfg: EngineConfig) -> list[Callable[[DataFrame], DataFrame]
 
     names, values = x.get(K_CONST_NAMES), x.get(K_CONST_VALUES)
     if names and values:
+        # splitRegex is a REGEX in the reference (ConstantColumns feature;
+        # a properties file commonly sets splitRegex=\| since values may
+        # contain commas)
         split = x.get(K_CONST_SPLIT, ",")
-        consts = dict(zip(str(names).split(","), str(values).split(str(split))))
+        consts = dict(zip(str(names).split(","), re.split(str(split), str(values))))
         steps.append(lambda df, k=consts: transforms.constant_columns(df, k))
 
     renames = x.get(K_RENAMES)
@@ -89,8 +94,28 @@ def feature_pipeline(cfg: EngineConfig) -> list[Callable[[DataFrame], DataFrame]
             lambda df, cols=str(skip).split(","): transforms.skip_columns(df, cols)
         )
 
-    if x.get(K_NULL_KEY_TS) is not None:
-        steps.append(lambda df: transforms.null_key_replace(df, [cfg.key_col]))
+    raw_replace = x.get(K_NULL_KEY_TS)
+    if raw_replace is not None:
+        # the property carries the replacement VALUE (epoch-millis for the
+        # timestamp keys it targets); parse it against the key column's
+        # actual type so the step is never a silent no-op
+        def replace_null_key(df: DataFrame, raw: str = str(raw_replace)) -> DataFrame:
+            dt = dict(df.dtypes).get(cfg.key_col, "string")
+            val: object
+            if dt.startswith("timestamp"):
+                val = datetime.fromtimestamp(
+                    int(raw) / 1000.0, tz=timezone.utc
+                ).replace(tzinfo=None)
+            elif dt in ("bigint", "int", "smallint", "tinyint"):
+                val = int(raw)
+            elif dt in ("double", "float"):
+                val = float(raw)
+            else:
+                val = raw
+            return transforms.null_key_replace(
+                df, [cfg.key_col], defaults={cfg.key_col: val}
+            )
+        steps.append(replace_null_key)
 
     return steps
 

@@ -32,8 +32,7 @@ webtext tier needs.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -72,15 +71,26 @@ def stream_dedup(
             batch.drop("partition", "batch_epoch"),
             cfg.key_col, cfg.ts_col, cfg.seq_col,
         )
+        # NULL-op rows are live (same null-safe definition as the
+        # lake/expected_state live-row filter)
         live = live.where(
-            (F.col(cfg.op_col) != "D") & F.col("text").isNotNull()
+            (F.col(cfg.op_col).isNull() | (F.col(cfg.op_col) != "D"))
+            & F.col("text").isNotNull()
         )
         new_sig = dedup.minhash_signature(
             live, "text", cfg.key_col, num_hashes=num_hashes, hash_mode="fast"
         )
-        if os.path.isdir(index_dir):
+        # read-and-fallback, not a directory-existence check: object
+        # stores have no directories, so probe by attempting the read
+        # (a missing/empty prefix raises AnalysisException)
+        try:
+            index_all = s.read.parquet(index_dir)
+            index_all.schema  # force analysis now, inside the try
+        except AnalysisException:
+            index_all = None
+        if index_all is not None:
             index_sig = (
-                s.read.parquet(index_dir)
+                index_all
                 .where(F.col("batch_id") < batch_id)
                 .drop("batch_id")
             )

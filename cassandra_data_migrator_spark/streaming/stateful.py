@@ -49,34 +49,48 @@ def stateful_lww_updates(
     """
     out_schema = stream.schema
 
+    def _ordkey(ts: object, seq: int) -> tuple:
+        # batch LWW ordering: nulls-smallest on ts, seq tie-break
+        t = pd.Timestamp.min if ts is None or pd.isna(ts) else pd.Timestamp(ts)
+        return (t, seq)
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            best_ts, best_seq = state.get
-            best_ts = pd.Timestamp(best_ts)
+            st_ts, st_seq = state.get
+            best = _ordkey(st_ts, st_seq)
         else:
-            best_ts, best_seq = None, None
+            best = None
         best_row = None
         for pdf in pdfs:
-            # null-ts rows can never win (batch LWW orders nulls smallest;
-            # pandas sort_values would place NaT LAST and crown it)
-            pdf = pdf.dropna(subset=[ts_col])
             if pdf.empty:
                 continue
             # vectorized winner of this chunk: lexicographic (ts, seq)
-            idx = (
-                pdf[[ts_col, seq_col]]
-                .sort_values([ts_col, seq_col])
-                .index[-1]
-            )
+            # with nulls smallest — a null-ts row wins only if the chunk
+            # holds nothing else, matching the batch fold's
+            # nulls-smallest ordering (pandas sort_values alone would
+            # place NaT LAST and wrongly crown it)
+            nn = pdf.dropna(subset=[ts_col])
+            if not nn.empty:
+                idx = (
+                    nn[[ts_col, seq_col]]
+                    .sort_values([ts_col, seq_col])
+                    .index[-1]
+                )
+            else:
+                idx = pdf[seq_col].sort_values().index[-1]
             cand = pdf.loc[idx]
-            cand_key = (pd.Timestamp(cand[ts_col]), int(cand[seq_col]))
-            if best_ts is None or cand_key > (best_ts, best_seq):
-                best_ts, best_seq = cand_key
+            cand_key = _ordkey(cand[ts_col], int(cand[seq_col]))
+            if best is None or cand_key > best:
+                best = cand_key
                 best_row = pdf.loc[[idx]]
         if best_row is not None:
-            state.update((best_ts.to_pydatetime(), int(best_seq)))
+            won_ts = best_row.iloc[0][ts_col]
+            state.update((
+                None if pd.isna(won_ts) else pd.Timestamp(won_ts).to_pydatetime(),
+                int(best[1]),
+            ))
             yield best_row
 
     grouped = stream.groupBy(key_col)

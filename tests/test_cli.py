@@ -223,3 +223,47 @@ def test_cli_features_from_properties(spark, workdir, tmp_path):
     assert landed.where("tenant = 'prod'").count() == landed.count() > 0
     # the verify fold applies the same pipeline -> no phantom diffs
     assert jobs.main(["validate"] + common) == 0
+
+def test_feature_constant_columns_split_is_regex(spark):
+    """constantColumns.splitRegex is a REGEX in the reference; a
+    properties file with splitRegex=\\| must split on the literal pipe."""
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.features import apply_features
+
+    cfg = EngineConfig()
+    cfg.extra.update({
+        "spark.cdm.feature.constantColumns.names": "tenant,region",
+        "spark.cdm.feature.constantColumns.values": "pr,od|eu",
+        "spark.cdm.feature.constantColumns.splitRegex": r"\|",
+    })
+    df = spark.createDataFrame([("x",)], "a string")
+    row = apply_features(df, cfg).first()
+    assert row["tenant"] == "pr,od" and row["region"] == "eu"
+
+
+def test_feature_null_key_ts_replace_value_applied(spark):
+    """transform.missing.key.ts.replace.value: the configured value is
+    actually used — epoch-millis for timestamp keys, verbatim for
+    string keys (previously a silent no-op for non-string keys)."""
+    import datetime
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.features import apply_features
+
+    # timestamp key: 1700000000000 ms = 2023-11-14T22:13:20Z
+    cfg = EngineConfig(key_col="k")
+    cfg.extra["spark.cdm.transform.missing.key.ts.replace.value"] = "1700000000000"
+    df = spark.createDataFrame(
+        [(None, "a"), (datetime.datetime(2026, 1, 1), "b")],
+        "k timestamp, v string",
+    )
+    got = {r["v"]: r["k"] for r in apply_features(df, cfg).collect()}
+    assert got["a"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
+    assert got["b"] == datetime.datetime(2026, 1, 1)
+
+    # string key: value used verbatim
+    cfg2 = EngineConfig(key_col="k")
+    cfg2.extra["spark.cdm.transform.missing.key.ts.replace.value"] = "missing"
+    df2 = spark.createDataFrame([(None, "a"), ("u", "b")], "k string, v string")
+    got2 = {r["v"]: r["k"] for r in apply_features(df2, cfg2).collect()}
+    assert got2 == {"a": "missing", "b": "u"}

@@ -224,3 +224,94 @@ def test_stream_dedup_incremental_index(spark, tmp_path):
                  max_files_per_trigger=1)
     assert as_set(spark.read.parquet(pairs_dir)) == as_set(full)
     assert spark.read.parquet(index_dir).count() == 12
+
+def test_stream_dedup_empty_preexisting_index_prefix(spark, tmp_path):
+    """Object-store analog: the index 'directory' exists but holds no
+    files (on S3 a prefix has no directory object at all). The first
+    batch must fall back to batch-internal pairing via read-and-fallback
+    rather than crash on read.parquet of an empty prefix."""
+    import datetime
+    import os
+
+    from cassandra_data_migrator_spark.streaming.dedup import stream_dedup
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    base = " ".join(f"tok{j}" for j in range(40))
+    rows = [
+        (0, 0, "I", "https://a/0", ts, None, base + " v0", "en", 0),
+        (1, 0, "I", "https://a/1", ts, None, base + " v1", "en", 0),
+        # NULL op must count as live (null-safe live-row definition)
+        (2, 0, None, "https://a/2", ts, None, base + " v2", "en", 0),
+    ]
+    df = spark.createDataFrame(rows, WAL_SCHEMA)
+    wal_dir = str(tmp_path / "wal")
+    df.coalesce(1).write.partitionBy("batch_epoch").parquet(wal_dir)
+
+    index_dir, pairs_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    os.makedirs(index_dir)  # exists-but-empty: isdir() would say True
+    cfg = EngineConfig(changelog_path=wal_dir)
+    stream_dedup(spark, cfg, str(tmp_path / "ckpt"), index_dir, pairs_dir,
+                 max_files_per_trigger=1)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(pairs_dir).collect()}
+    # all three docs are near-identical AND live (incl. the NULL-op row)
+    assert pairs == {("https://a/0", "https://a/1"),
+                     ("https://a/0", "https://a/2"),
+                     ("https://a/1", "https://a/2")}
+    assert spark.read.parquet(index_dir).count() == 3
+
+
+def test_stateful_lww_all_null_ts_key_matches_batch(spark, tmp_path):
+    """A key whose rows ALL have null ts must still crown a winner
+    (nulls-smallest, seq tie-break — identical to the batch max_by
+    fold), and a later non-null-ts row must beat it."""
+    import datetime
+
+    from cassandra_data_migrator_spark.operators.lww import lww_dedup
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+    from cassandra_data_migrator_spark.streaming.stateful import stateful_lww_updates
+
+    ts = datetime.datetime(2026, 1, 1)
+    epochs = [
+        # epoch 0: key n has only null-ts rows; key m mixed
+        [(0, 0, "I", "https://n", None, None, "n0", "en", 0),
+         (1, 0, "U", "https://n", None, None, "n1", "en", 0),
+         (2, 0, "I", "https://m", None, None, "m-null", "en", 0),
+         (3, 0, "U", "https://m", ts, None, "m-ts", "en", 0)],
+        # epoch 1: a non-null ts arrives for key n and must win
+        [(4, 0, "U", "https://n", ts, None, "n-ts", "en", 1)],
+    ]
+    all_rows = [r for ep in epochs for r in ep]
+    df = spark.createDataFrame(all_rows, WAL_SCHEMA)
+    wal_dir = str(tmp_path / "wal")
+    df.coalesce(1).write.partitionBy("batch_epoch").parquet(wal_dir)
+
+    stream = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wal_dir)
+    )
+    q = (
+        stateful_lww_updates(stream)
+        .writeStream.format("memory")
+        .queryName("lww_nullts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    emitted = spark.sql("SELECT * FROM lww_nullts")
+    # final transition per key == batch LWW winner, incl. the all-null key
+    final = {r["url"]: (r["text"], r["seq"])
+             for r in lww_dedup(emitted, "url", "warc_ts", "seq").collect()}
+    expected = {r["url"]: (r["text"], r["seq"])
+                for r in lww_dedup(df.drop("partition", "batch_epoch"),
+                                   "url", "warc_ts", "seq").collect()}
+    assert final == expected
+    assert final["https://m"] == ("m-ts", 3)
+    # the all-null epoch crowned max-seq for n, then the ts row beat it
+    n_rows = [(r["text"], r["seq"]) for r in
+              emitted.where("url = 'https://n'").orderBy("seq").collect()]
+    assert n_rows == [("n1", 1), ("n-ts", 4)]
