@@ -94,8 +94,8 @@ def bench_cdc_replay(
     return dt, n_events
 
 
-def headline_queries(spark) -> dict[str, float]:
-    """Per-query wall seconds (result fully materialized)."""
+def headline_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query wall seconds: (best-of-3 minima, full per-round spreads)."""
     docs = t(spark, SF_DIR, "documents")
     emb = t(spark, SF_DIR, "embeddings")
 
@@ -142,21 +142,22 @@ def headline_queries(spark) -> dict[str, float]:
         "multimodal_meta": lambda: QUERIES["multimodal_meta"](spark, SF_DIR),
         "dedup_incremental": lambda: QUERIES["dedup_incremental"](spark, SF_DIR),
         "webtext_pipeline": lambda: QUERIES["webtext_pipeline"](spark, SF_DIR),
+        "webtext_budget": lambda: QUERIES["webtext_budget"](spark, SF_DIR),
         "asof_state": lambda: QUERIES["asof_state"](spark, SF_DIR),
     }
     # best-of-3, INTERLEAVED rounds (round-robin over all queries three
     # times, min per query): the sandbox's ±40% timing noise drifts on
     # multi-second scales, so interleaving decorrelates a slow phase from
-    # any single query — same protocol tools/bench_scaling.py already uses
-    out: dict[str, float] = {}
+    # any single query — same protocol tools/bench_scaling.py already uses.
+    # The full per-round spread is returned alongside the minima so
+    # round-over-round query deltas are as noise-robust as the headline.
+    spreads: dict[str, list[float]] = {name: [] for name in cases}
     for _round in range(3):
         for name, mk in cases.items():
             t0 = time.time()
             mk().count()
-            dt = round(time.time() - t0, 3)
-            if name not in out or dt < out[name]:
-                out[name] = dt
-    return out
+            spreads[name].append(round(time.time() - t0, 3))
+    return {name: min(ts) for name, ts in spreads.items()}, spreads
 
 
 def main() -> int:
@@ -190,18 +191,20 @@ def main() -> int:
     cdc_sec = min(runs)
     shutil.rmtree(os.path.dirname(wal_dir), ignore_errors=True)
     spark.catalog.clearCache()
-    qtimes = headline_queries(spark)
+    qtimes, qspreads = headline_queries(spark)
     qtimes["cdc_replay"] = round(cdc_sec, 3)
+    qspreads["cdc_replay"] = runs
     result = {
         "metric": "cdc_events_per_sec",
         "value": round(n / cdc_sec, 1),
         "unit": "events/sec",
         "queries": qtimes,
+        "query_runs_sec": qspreads,
         "sf": sf,
         "cpus": CPUS,
         "cdc_events": n,
         "cdc_runs_sec": runs,
-        "protocol": "best-of-3 (replay spread recorded; queries interleaved)",
+        "protocol": "best-of-3 (per-query and replay spreads recorded; queries interleaved)",
     }
     print(json.dumps(result))
     return 0

@@ -452,6 +452,37 @@ FROM events
 """
 
 
+def q_codec_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 BLOB codec family (BLOB_TEXTCodec.java, ASCII_BLOBCodec.java,
+    BLOB_ASCIICodec.java; registered cql/codec/Codecset.java:18-21):
+    ByteBuffer↔String conversions as Catalyst expressions.
+
+    TEXT→BLOB→TEXT round trip (blob_text_rt), BLOB rendered as hex
+    (blob_hex) and base64 (blob_b64) — the two lossless text renderings
+    of arbitrary bytes — and the ASCII-charset round trip (ascii_rt =
+    ASCII_BLOB ∘ BLOB_ASCII; event_type is pure ASCII, so the US-ASCII
+    and UTF-8 charsets agree byte-for-byte)."""
+    ev = t(spark, sf_dir, "events")
+    blob = F.col("event_type").cast("binary")
+    return ev.select(
+        "event_id",
+        blob.cast("string").alias("blob_text_rt"),
+        F.hex(blob).alias("blob_hex"),
+        F.base64(blob).alias("blob_b64"),
+        F.decode(F.encode(F.col("event_type"), "US-ASCII"), "US-ASCII").alias("ascii_rt"),
+    )
+
+
+SQL_CODEC_BLOB = """
+SELECT event_id,
+  decode(encode(event_type)) AS blob_text_rt,
+  hex(encode(event_type)) AS blob_hex,
+  to_base64(encode(event_type)) AS blob_b64,
+  decode(encode(event_type)) AS ascii_rt
+FROM events
+"""
+
+
 def q_writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 row-wise greatest-writetime (WritetimeTTL.java:235-258)."""
     ev = t(spark, sf_dir, "events")
@@ -1388,6 +1419,42 @@ def q_webtext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_TOKENS = 2000
+
+
+def q_webtext_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget cutoff — the last step of training-data
+    prep: within each predicted language, keep the highest-quality docs
+    until a configured token budget is exhausted (deterministic: quality
+    DESC, doc_id tie-break).
+
+    Scale shape: same two shuffles as the pipeline plus ONE extra window
+    partitioned by language — a handful of partitions, each a running
+    sum, no extra join. At 10^10 docs the per-language partitions are
+    the only wide rows; a real corpus would pre-bucket by language."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = textops.lang_id(textops.quality_score(docs, "text"), "text")
+    kept = scored.where(F.col("quality") >= _PIPE_MIN_QUALITY)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    toks = textops.token_count(kept, "text")
+    wb = (
+        Window.partitionBy("lang_pred")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = toks.withColumn("_cum", F.sum("n_tokens").over(wb)).where(
+        F.col("_cum") <= _BUDGET_TOKENS
+    )
+    return sel.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("quality").alias("cutoff_quality"),
+    )
+
+
 def _webtext_pipeline_sql() -> str:
     # composed from the same building blocks as SQL_QUALITY_SCORE and
     # SQL_LANG_ID; min/max over doubles are order-independent (no AVG —
@@ -1424,14 +1491,29 @@ WITH base AS (
   WHERE quality >= {_PIPE_MIN_QUALITY}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 )
+"""
+
+
+SQL_WEBTEXT_PIPELINE = _webtext_pipeline_sql() + """
 SELECT lang_pred, COUNT(*) AS n_docs,
   CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
   MIN(quality) AS min_quality, MAX(quality) AS max_quality
 FROM kept GROUP BY lang_pred
 """
 
-
-SQL_WEBTEXT_PIPELINE = _webtext_pipeline_sql()
+# explicit ROWS frame so engines agree even on ordering-peer rows
+SQL_WEBTEXT_BUDGET = _webtext_pipeline_sql() + f"""
+, ranked AS (
+  SELECT lang_pred, n_toks, quality,
+    SUM(n_toks) OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept
+)
+SELECT lang_pred, COUNT(*) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+  MIN(quality) AS cutoff_quality
+FROM ranked WHERE cum <= {_BUDGET_TOKENS} GROUP BY lang_pred
+"""
 
 
 def q_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1569,6 +1651,7 @@ QUERIES: dict[str, QueryFn] = {
     "nested_cast": q_nested_cast,
     "null_key_replace": q_null_key_replace,
     "codec_casts": q_codec_casts,
+    "codec_blob": q_codec_blob,
     "writetime_greatest": q_writetime_greatest,
     # scan shaping (SURVEY §2.2)
     "token_range_scan": q_token_range_scan,
@@ -1606,6 +1689,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "webtext_pipeline": q_webtext_pipeline,
+    "webtext_budget": q_webtext_budget,
     "asof_state": q_asof_state,
 }
 
@@ -1627,6 +1711,7 @@ ORACLES: dict[str, str] = {
     "nested_cast": SQL_NESTED_CAST,
     "null_key_replace": SQL_NULL_KEY_REPLACE,
     "codec_casts": SQL_CODEC_CASTS,
+    "codec_blob": SQL_CODEC_BLOB,
     "writetime_greatest": SQL_WRITETIME_GREATEST,
     "token_range_scan": SQL_TOKEN_RANGE_SCAN,
     "coverage_sample": SQL_COVERAGE_SAMPLE,
@@ -1661,5 +1746,6 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,
+    "webtext_budget": SQL_WEBTEXT_BUDGET,
     "asof_state": SQL_ASOF_STATE,
 }

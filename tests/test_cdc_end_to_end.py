@@ -234,3 +234,48 @@ def test_token_range_restricted_ingest(spark, events, tmp_path):
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     assert got.count() < full.count()
+
+def test_asof_join_matches_lake_built_up_to_timestamp(spark, events, tmp_path):
+    """Cross-check of the two point-in-time paths: for sampled cut
+    timestamps T, the event-stream as-of join probed at T must agree
+    per key with a lake ingested from only the events at-or-before T
+    (deleted winners absent from the lake, matched as op='D' by the
+    as-of join)."""
+    from cassandra_data_migrator_spark.operators.asof import asof_join
+
+    tmin, tmax = events.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    cuts = [tmin + (tmax - tmin) * f for f in (0.33, 0.66, 1.0)]
+    urls = [r["url"] for r in events.select("url").distinct().limit(60).collect()]
+    # right side unique per (key, ts): collapse ts-ties by max seq —
+    # the same (ts, seq) ordering the lake's LWW fold uses
+    right = (
+        events.groupBy("url", "warc_ts")
+        .agg(F.max_by(F.struct("seq", "text", "op"), "seq").alias("_w"))
+        .select("url", "warc_ts", "_w.*")
+    )
+    for i, cut in enumerate(cuts):
+        cfg = make_cfg(tmp_path / f"t{i}")
+        ingest(spark, cfg,
+               changelog_df=events.where(F.col("warc_ts") <= F.lit(cut)),
+               mode="mor")
+        lake_rows = {
+            r["url"]: (r["seq"], r["text"])
+            for r in LakeTable(spark, cfg.lake_path).read()
+            .where(F.col("url").isin(urls)).collect()
+        }
+        probes = spark.createDataFrame(
+            [(u, cut) for u in urls], "url string, warc_ts timestamp"
+        )
+        got = asof_join(
+            probes, right, ["url"], "warc_ts",
+            {"seq": "w_seq", "text": "w_text", "op": "w_op"},
+        ).collect()
+        assert len(got) == len(urls)
+        checked_live = 0
+        for r in got:
+            if r["w_seq"] is None or r["w_op"] == "D":
+                assert r["url"] not in lake_rows, (i, r["url"])
+            else:
+                assert lake_rows.get(r["url"]) == (r["w_seq"], r["w_text"]), (i, r["url"])
+                checked_live += 1
+        assert checked_live > 0
