@@ -21,6 +21,8 @@ class EngineConfig:
     num_buckets: int = 64             # lake-table hash buckets (bucket(url))
     coverage_percent: int = 100       # sampled validation (KnownProperties.java:238)
     salt_buckets: int = 8             # hot-key salting factor for the dedup shuffle
+    skew_min_rows: int = 10_000       # auto LWW: a key is "hot" only past this absolute
+                                      # count (salting tiny epochs costs more than it saves)
 
     # --- batching (micro-batch epochs; CopyJobSession.java:150-218 analog)
     epoch_size: int = 100_000         # events per batch_epoch

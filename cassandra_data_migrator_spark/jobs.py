@@ -38,6 +38,7 @@ class RunResult:
     counters: JobCounter
     epochs_applied: list[int] = field(default_factory=list)
     epochs_skipped: list[int] = field(default_factory=list)
+    epochs_salted: list[int] = field(default_factory=list)  # auto LWW skew decisions
     lake_version: int = 0
 
 
@@ -86,8 +87,12 @@ def ingest(
 
     ``lww_strategy``: 'skinny' (default — winner-seq agg + AQE-broadcast
     semi join; never sorts/shuffles payload bytes, 5x faster at 10^7-row
-    epochs), 'max_by' (single agg; fine for small epochs), or 'salted'
-    (two-phase fold for degenerate single-key skew).
+    epochs), 'max_by' (single agg; fine for small epochs), 'salted'
+    (two-phase fold for degenerate single-key skew), or 'auto' (per
+    epoch, a cheap key-count aggregation — column-pruned scan, map-side
+    combine, O(distinct keys) shuffle — picks 'salted' when one key
+    exceeds max(cfg.skew_min_rows, rows/num_partitions), else 'skinny';
+    decisions land in ``RunResult.epochs_salted``).
     ``fail_at_epoch`` injects a crash *after* that many epochs committed,
     for the kill-and-resume test.
     """
@@ -117,13 +122,33 @@ def ingest(
     total = JobCounter()
     result = RunResult(counters=total)
     done = 0
-    dedup_fn = {
+    strategies = {
         "skinny": lambda df: lww_dedup_skinny(df, cfg.key_col, cfg.ts_col, cfg.seq_col),
         "max_by": lambda df: lww_dedup(df, cfg.key_col, cfg.ts_col, cfg.seq_col),
         "salted": lambda df: lww_dedup_salted(
             df, cfg.key_col, cfg.ts_col, cfg.seq_col, cfg.salt_buckets
         ),
-    }[lww_strategy]
+    }
+
+    def pick_strategy(filtered: DataFrame, epoch: int):
+        """'auto': detect degenerate per-epoch skew with one cheap job —
+        per-key counts (map-side combined; only distinct keys shuffle)
+        over the key column alone (pruned scan). A key is hot when it
+        exceeds both an absolute floor and the per-partition average;
+        then the two-phase salted fold bounds reducer fan-in."""
+        if lww_strategy != "auto":
+            return strategies[lww_strategy]
+        stats = (
+            filtered.groupBy(cfg.key_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
+            .first()
+        )
+        mx, tot = stats["mx"] or 0, stats["tot"] or 0
+        if mx > max(cfg.skew_min_rows, tot / cfg.num_partitions):
+            result.epochs_salted.append(epoch)
+            return strategies["salted"]
+        return strategies["skinny"]
 
     def prepare_slice(batch: DataFrame, parts_slice: list[int], epoch: int):
         """Build the filtered+deduped plan for one commit slice; returns
@@ -136,6 +161,7 @@ def ingest(
             filtered = guardrail_flags(filtered, cfg.guardrail_col_size_kb).where(
                 F.size("_large_cols") == 0
             ).drop("_large_cols")
+        dedup_fn = pick_strategy(filtered, epoch)
         obs_write = Observation()
         filtered = filtered.observe(obs_write, F.count(F.lit(1)).alias("passed"))
         deduped = dedup_fn(filtered.drop("partition", "batch_epoch"))
@@ -435,7 +461,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-track-run", dest="track_run", action="store_false",
                    default=None, help="disable run-details lineage writes")
     p.add_argument("--lww-strategy", dest="lww_strategy",
-                   choices=["skinny", "max_by", "salted"], default="skinny")
+                   choices=["skinny", "max_by", "salted", "auto"], default="skinny")
     p.add_argument("--where", dest="where_condition", default=None,
                    help="user WHERE condition pushed into the scan")
     p.add_argument("--filter-column", dest="filter_column", default=None)

@@ -279,3 +279,35 @@ def test_asof_join_matches_lake_built_up_to_timestamp(spark, events, tmp_path):
                 assert lake_rows.get(r["url"]) == (r["w_seq"], r["w_text"]), (i, r["url"])
                 checked_live += 1
         assert checked_live > 0
+
+def test_auto_lww_salts_skewed_epoch_only(spark, tmp_path):
+    """lww_strategy='auto': an epoch dominated by a single key engages
+    the salted two-phase fold (recorded in RunResult.epochs_salted);
+    a uniform epoch stays skinny; final state matches the one-shot fold
+    either way."""
+    import datetime
+
+    base_ts = datetime.datetime(2026, 1, 1)
+    rows = []
+    # epoch 0: 400 rows, ONE key (degenerate skew)
+    for i in range(400):
+        rows.append((i, i % 8, "U", "https://hot", base_ts + datetime.timedelta(seconds=i),
+                     None, f"v{i}", None, 0))
+    # epoch 1: 400 rows over 200 keys (uniform)
+    for i in range(400):
+        rows.append((400 + i, i % 8, "U", f"https://u/{i % 200}",
+                     base_ts + datetime.timedelta(seconds=400 + i), None, f"w{i}", None, 1))
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+    events = spark.createDataFrame(rows, WAL_SCHEMA)
+
+    cfg = make_cfg(tmp_path, skew_min_rows=100, num_partitions=8)
+    res = ingest(spark, cfg, changelog_df=events, mode="mor", lww_strategy="auto")
+    assert res.epochs_salted == [0]
+    lake = LakeTable(spark, cfg.lake_path)
+    actual = lake.read()
+    expected = expected_state(events, cfg)
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+    # the hot key folded to its single (ts, seq)-max winner
+    hot = actual.where("url = 'https://hot'").collect()
+    assert len(hot) == 1 and hot[0]["text"] == "v399"
