@@ -214,6 +214,20 @@ def main() -> int:
         trim(wp_lines, 20),
     ))
 
+    wb = QUERIES["webtext_budget"](spark, SF)
+    wb_lines = "\n".join(
+        ln for ln in fmt(spark, wb, "simple").splitlines()
+        if re.search(r"Exchange|Window|HashAggregate|FileScan|Join", ln)
+    )
+    sections.append((
+        "webtext_budget — per-language token budget in one extra window",
+        "Same two shuffles as webtext_pipeline plus ONE window exchange "
+        "partitioned by predicted language: a running token sum ordered "
+        "by (quality DESC, doc_id) cuts each language at the budget. No "
+        "join, no extra pass over the corpus.",
+        trim(wb_lines, 20),
+    ))
+
     asf = QUERIES["asof_state"](spark, SF)
     sections.append((
         "asof_state — point-in-time join as union + running-last window",
