@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -107,11 +108,30 @@ class LakeTable:
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self._mdir, CURRENT_FILE))
 
-    def manifest(self) -> Manifest:
-        with open(os.path.join(self._mdir, CURRENT_FILE)) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self._mdir, f"v{v:08d}.json")) as f:
+    def manifest(self, version: int | None = None) -> Manifest:
+        """The CURRENT manifest, or a specific retained version (time
+        travel; vacuumed versions raise with the retained range)."""
+        if version is None:
+            with open(os.path.join(self._mdir, CURRENT_FILE)) as f:
+                version = int(f.read().strip())
+        mpath = os.path.join(self._mdir, f"v{version:08d}.json")
+        if not os.path.exists(mpath):
+            avail = self.versions()
+            raise ValueError(
+                f"manifest v{version} not found (retained versions: "
+                f"{avail[0]}..{avail[-1]})" if avail else
+                f"manifest v{version} not found (no versions retained)"
+            )
+        with open(mpath) as f:
             return Manifest.from_json(f.read())
+
+    def versions(self) -> list[int]:
+        """Retained manifest versions, oldest first (snapshot history)."""
+        out = []
+        for fn in os.listdir(self._mdir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
 
     def _swap(self, mf: Manifest, expected_parent: int) -> None:
         """Atomically publish a new manifest version.
@@ -519,6 +539,51 @@ class LakeTable:
         self._swap(mf, expected_parent=parent)
         return CommitResult(True, mf.version, buckets_rewritten=len(rewritten))
 
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Physically delete data files referenced only by manifests
+        older than the newest ``retain_last`` versions, and drop those
+        manifests (Delta VACUUM / Iceberg expire-snapshots analog).
+        Bounds time travel to the retained versions; returns the number
+        of files deleted.
+
+        Single-writer assumption (same as the rest of the lake): must
+        not run while an ingest is staging commits — a staged-but-
+        unpublished commit dir is unreferenced by any manifest and would
+        be swept as garbage. Driver-side file ops only, no Spark job."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self.versions()
+        keep_versions = versions[-retain_last:]
+        keep_files: set[str] = set()
+        for v in keep_versions:
+            mf = self.manifest(v)
+            for store in (mf.base, mf.deltas):
+                for files in store.values():
+                    keep_files.update(files)
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for root, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if fn.endswith(".parquet") and \
+                            os.path.relpath(p, self.path) not in keep_files:
+                        os.remove(p)
+                        removed += 1
+            # prune commit dirs that no longer hold any data file
+            # (leftover _SUCCESS/.crc markers go with them)
+            for cdir in os.listdir(data_root):
+                full = os.path.join(data_root, cdir)
+                has_parquet = any(
+                    fn.endswith(".parquet")
+                    for _, _, fns in os.walk(full) for fn in fns
+                )
+                if not has_parquet:
+                    shutil.rmtree(full, ignore_errors=True)
+        for v in versions[:-retain_last]:
+            os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
+        return removed
+
     # ------------------------------------------------------------- read
     def read(
         self,
@@ -526,14 +591,21 @@ class LakeTable:
         resolve: bool = True,
         buckets: list[int] | None = None,
         as_of=None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current snapshot. Tombstones ('D' rows) dropped at projection.
+        """Current snapshot — or, with ``version``, the table exactly as
+        it stood at that manifest version (time travel: data files are
+        immutable and manifests are retained until :meth:`vacuum`, so a
+        historical manifest resolves byte-identically — the
+        reproducible-training-dataset guarantee; Delta ``VERSION AS OF``
+        / Iceberg snapshot-read analog, no reference counterpart).
+        Tombstones ('D' rows) dropped at projection.
 
         ``as_of``: when the table has a TTL column, rows whose TTL
         lapsed by that timestamp are filtered out at read time (the
         query-time half of USING-TTL expiry; ``compact(expire_as_of=)``
         is the physical reclaim)."""
-        mf = self.manifest()
+        mf = self.manifest(version)
         base = self._read_files(mf, self._files(mf, buckets, "base"))
         has_deltas = any(mf.deltas.values())
         if has_deltas:

@@ -311,3 +311,44 @@ def test_auto_lww_salts_skewed_epoch_only(spark, tmp_path):
     # the hot key folded to its single (ts, seq)-max winner
     hot = actual.where("url = 'https://hot'").collect()
     assert len(hot) == 1 and hot[0]["text"] == "v399"
+
+
+def test_time_travel_reads_and_vacuum(spark, events, tmp_path):
+    """Snapshot reads: read(version=v) must reproduce the table exactly
+    as it stood when v was CURRENT — across MoR commits and compaction.
+    vacuum(retain_last=1) then deletes every data file the current
+    manifest doesn't reference, keeps the current read byte-identical,
+    and makes old versions raise."""
+    import os
+
+    def count_parquet() -> int:
+        return sum(
+            fn.endswith(".parquet")
+            for _, _, fns in os.walk(str(tmp_path / "lake"))
+            for fn in fns
+        )
+
+    cfg = make_cfg(tmp_path)
+    snaps = {}
+    lake = None
+    for upto in (3, 6):
+        ingest(spark, cfg,
+               changelog_df=events.where(F.col("batch_epoch") < upto),
+               mode="mor")
+        lake = LakeTable(spark, cfg.lake_path)
+        snaps[lake.manifest().version] = {
+            tuple(r) for r in lake.read().collect()
+        }
+    assert len(snaps) == 2
+    v1, v2 = sorted(snaps)
+    assert {tuple(r) for r in lake.read(version=v1).collect()} == snaps[v1]
+    assert {tuple(r) for r in lake.read(version=v2).collect()} == snaps[v2]
+    assert lake.versions()[-1] == v2
+    # vacuum: current read unchanged, old versions gone, files deleted
+    n_before = count_parquet()
+    removed = lake.vacuum(retain_last=1)
+    assert removed > 0
+    assert {tuple(r) for r in lake.read().collect()} == snaps[v2]
+    with pytest.raises(ValueError, match="retained"):
+        lake.read(version=v1)
+    assert count_parquet() == n_before - removed
