@@ -434,7 +434,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = argparse.ArgumentParser(prog="cdm-spark")
     p.add_argument(
-        "job", choices=["ingest", "validate", "guardrail", "generate", "dedup"]
+        "job", choices=["ingest", "validate", "guardrail", "generate", "dedup",
+                        "compact", "vacuum"]
     )
     p.add_argument("--config", help="JSON config file", default=None)
     p.add_argument("--properties", default=None,
@@ -474,6 +475,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="dedup: candidate-pair output directory")
     p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
                    help="dedup: streaming checkpoint directory")
+    p.add_argument("--retain-last", dest="retain_last", type=int, default=1,
+                   help="vacuum: keep this many newest snapshot versions")
     args = p.parse_args(argv)
 
     d = {}
@@ -524,6 +527,14 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:  # no batch emitted any pair -> nothing written
             n = 0
         print(f"Final Candidate Pair Count: {n}")
+    elif args.job == "compact":
+        res = LakeTable(spark, cfg.lake_path).compact()
+        print(f"Final Compacted Bucket Count: {res.buckets_rewritten}")
+    elif args.job == "vacuum":
+        lake = LakeTable(spark, cfg.lake_path)
+        n = lake.vacuum(retain_last=args.retain_last)
+        print(f"Final Vacuumed File Count: {n}")
+        print(f"Final Retained Version Count: {len(lake.versions())}")
     return 0
 
 

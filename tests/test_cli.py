@@ -267,3 +267,27 @@ def test_feature_null_key_ts_replace_value_applied(spark):
     df2 = spark.createDataFrame([(None, "a"), ("u", "b")], "k string, v string")
     got2 = {r["v"]: r["k"] for r in apply_features(df2, cfg2).collect()}
     assert got2 == {"a": "missing", "b": "u"}
+
+
+def test_cli_compact_and_vacuum(spark, workdir, capsys):
+    """Operational surface: `compact` folds MoR deltas (rerun is a
+    no-op), `vacuum --retain-last 1` reclaims unreferenced files and
+    bounds snapshot history, with the table unchanged."""
+    from cassandra_data_migrator_spark.sources.lake import LakeTable
+
+    common = ["--changelog", workdir["wal"], "--lake", workdir["lake"]]
+    assert jobs.main(["ingest"] + common) == 0
+    lake = LakeTable(spark, workdir["lake"])
+    before = lake.read().count()
+    assert len(lake.versions()) > 1
+    # ingest ends with a compact, so a fresh CLI compact is a no-op
+    assert jobs.main(["compact", "--lake", workdir["lake"]]) == 0
+    assert "Final Compacted Bucket Count: 0" in capsys.readouterr().out
+    assert jobs.main(["vacuum", "--lake", workdir["lake"],
+                      "--retain-last", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "Final Retained Version Count: 1" in out
+    vac = int(out.split("Final Vacuumed File Count: ")[1].split("\n")[0])
+    assert vac > 0
+    assert lake.read().count() == before
+    assert jobs.main(["validate"] + common) == 0
