@@ -900,6 +900,138 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS rewritten as a
+    LEFT SEMI join with a mixed equi + non-equi condition. The synthetic
+    lineitem has no commitdate/receiptdate, so "late" = shipped more
+    than 60 days after the order date."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority counting (TPC-H Q12 shape; l_linestatus stands
+    in for the absent l_shipmode): fact join + conditional counts."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14): broadcast dim join + conditional
+    DECIMAL sums; the percentage division happens in DOUBLE only at the
+    very end ((100.0 * promo) / total, left-to-right in both engines)."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc = (_money("l_extendedprice") * (F.lit(1) - _money("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.sum(promo).alias("_p"), F.sum(disc).alias("_t"))
+    )
+    return agg.select(
+        ((F.lit(100.0) * F.col("_p").cast("double")) / F.col("_t").cast("double"))
+        .alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
+       / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18): HAVING over a fact aggregate,
+    joined back to orders + customer, top-100. l_quantity sums in
+    DECIMAL (order-independent) and goes DOUBLE only at output."""
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 180)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, CAST(q AS DOUBLE) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100
+"""
+
+
 # ===================================================================== dedup family
 _MINHASH_K = 8
 _SHINGLE_N = 3
@@ -1666,9 +1798,13 @@ QUERIES: dict[str, QueryFn] = {
     # analytics headliners
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     # training-data ops
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1726,7 +1862,11 @@ ORACLES: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q4": SQL_TPCH_Q4,
     "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,

@@ -26,8 +26,8 @@ sys.path.insert(0, REPO)
 
 from tools.bench_scaling import probe_cpu, probe_membw  # noqa: E402
 
-CPU_BAR = 0.95       # r2-idle: pure CPU scales ~0.94-0.99
-MEMBW_BAR = 0.60     # r2-idle: parallel memcpy ~0.65; allow slight dip
+CPU_BAR = 0.93       # healthy idle: pure CPU scales 0.94 (r1 baseline) ± probe noise
+MEMBW_BAR = 0.62     # healthy idle: parallel memcpy ~0.65; allow slight dip
 ADOPT_NORM = 0.95    # adoption bar for normalized efficiency (r2 run B: 0.993)
 ADOPT_SCAN = 0.60    # in-run bare-scan ceiling must itself look idle-ish
 
