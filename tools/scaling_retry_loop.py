@@ -27,7 +27,8 @@ sys.path.insert(0, REPO)
 from tools.bench_scaling import probe_cpu, probe_membw  # noqa: E402
 
 CPU_BAR = 0.93       # healthy idle: pure CPU scales 0.94 (r1 baseline) ± probe noise
-MEMBW_BAR = 0.62     # healthy idle: parallel memcpy ~0.65; allow slight dip
+MEMBW_BAR = 0.58     # healthy idle: parallel memcpy ~0.65; probes swing ±0.05 and
+                     # the in-run scan probe + normalization is the real arbiter
 ADOPT_NORM = 0.95    # adoption bar for normalized efficiency (r2 run B: 0.993)
 ADOPT_SCAN = 0.60    # in-run bare-scan ceiling must itself look idle-ish
 
