@@ -560,6 +560,12 @@ class LakeTable:
             for store in (mf.base, mf.deltas):
                 for files in store.values():
                     keep_files.update(files)
+        # drop expired manifests BEFORE touching data files: a crash
+        # mid-vacuum then leaves only orphan (unreferenced) data files —
+        # harmless, reclaimed by the next vacuum — never a readable
+        # manifest version pointing at deleted files
+        for v in versions[:-retain_last]:
+            os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
@@ -580,8 +586,6 @@ class LakeTable:
                 )
                 if not has_parquet:
                     shutil.rmtree(full, ignore_errors=True)
-        for v in versions[:-retain_last]:
-            os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
         return removed
 
     # ------------------------------------------------------------- read
