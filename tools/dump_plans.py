@@ -64,6 +64,20 @@ def main() -> int:
         trim(joins),
     ))
 
+    q4 = QUERIES["tpch_q4"](spark, SF)
+    q4_lines = "\n".join(
+        ln for ln in fmt(spark, q4, "simple").splitlines()
+        if re.search(r"Join|Exchange|FileScan|HashAggregate", ln)
+    )
+    sections.append((
+        "tpch_q4 — EXISTS as broadcast left-semi with non-equi residual",
+        "The EXISTS subquery plans as BroadcastHashJoin LeftSemi on the "
+        "order key with the late-shipment predicate as the join residual "
+        "— no correlated re-execution, no pair materialization; date "
+        "filters pushed to both scans.",
+        trim(q4_lines, 14),
+    ))
+
     lww_plan = fmt(spark, lww_dedup(ev), "simple")
     sections.append((
         "LWW fold (max_by) — verify-side",
