@@ -483,6 +483,85 @@ FROM events
 """
 
 
+def q_valid_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 validity filter (EnhancedPK.java:130-152): rows whose
+    composite key has any null component are errors and are dropped.
+    A null component is synthesized deterministically with
+    nullif(event_type, 'click') so the filter genuinely fires."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_k2", F.expr("nullif(event_type, 'click')")
+    )
+    out = transforms.drop_invalid_keys(ev, ["user_id", "_k2"])
+    return out.select("event_id", "event_type")
+
+
+SQL_VALID_KEYS = """
+SELECT event_id, event_type FROM events
+WHERE user_id IS NOT NULL AND nullif(event_type, 'click') IS NOT NULL
+"""
+
+
+def q_pk_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 composite-PK diagnostic render (EnhancedPK.toString,
+    data/EnhancedPK.java:155-166): '[v1 %% v2]' with null components
+    rendered '(null)' (line 160) — exercised via a synthesized null."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_k2", F.expr("nullif(event_type, 'click')")
+    )
+    out = transforms.pk_render(ev, ["user_id", "_k2"])
+    return out.select("event_id", "pk_str")
+
+
+SQL_PK_RENDER = """
+SELECT event_id,
+  '[' || concat_ws(' %% ',
+    coalesce(CAST(user_id AS VARCHAR), '(null)'),
+    coalesce(nullif(event_type, 'click'), '(null)')) || ']' AS pk_str
+FROM events
+"""
+
+
+def q_map_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 map null-value scrub (tombstone-equivalent write avoidance):
+    entries whose value is null are dropped from map columns before the
+    sink. The map is built with one deterministically-null value
+    (nullif on 'click' rows); output renders the scrubbed map as a
+    sorted k=v string so both engines hash identically."""
+    ev = t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(F.lit("a"), F.expr("nullif(event_type, 'click')")),
+        F.create_map(F.lit("b"), (F.col("user_id") % 5).cast("string")),
+    )
+    mapped = ev.select("event_id", m.alias("_m"))
+    scrubbed = transforms.scrub_null_map_values(mapped, ["_m"])
+    render = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("_m"))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+    return scrubbed.select(
+        "event_id",
+        render.alias("scrubbed"),
+        F.size("_m").cast("long").alias("n_entries"),
+    )
+
+
+SQL_MAP_SCRUB = """
+SELECT event_id,
+  array_to_string(list_transform(
+    list_filter([struct_pack(k := 'a', v := nullif(event_type, 'click')),
+                 struct_pack(k := 'b', v := CAST(user_id % 5 AS VARCHAR))],
+                e -> e.v IS NOT NULL),
+    e -> e.k || '=' || e.v), ',') AS scrubbed,
+  CAST(len(list_filter([nullif(event_type, 'click'),
+                        CAST(user_id % 5 AS VARCHAR)],
+                       v -> v IS NOT NULL)) AS BIGINT) AS n_entries
+FROM events
+"""
+
+
 def q_writetime_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 row-wise greatest-writetime (WritetimeTTL.java:235-258)."""
     ev = t(spark, sf_dir, "events")
@@ -1784,6 +1863,9 @@ QUERIES: dict[str, QueryFn] = {
     "null_key_replace": q_null_key_replace,
     "codec_casts": q_codec_casts,
     "codec_blob": q_codec_blob,
+    "valid_keys": q_valid_keys,
+    "pk_render": q_pk_render,
+    "map_scrub": q_map_scrub,
     "writetime_greatest": q_writetime_greatest,
     # scan shaping (SURVEY §2.2)
     "token_range_scan": q_token_range_scan,
@@ -1848,6 +1930,9 @@ ORACLES: dict[str, str] = {
     "null_key_replace": SQL_NULL_KEY_REPLACE,
     "codec_casts": SQL_CODEC_CASTS,
     "codec_blob": SQL_CODEC_BLOB,
+    "valid_keys": SQL_VALID_KEYS,
+    "pk_render": SQL_PK_RENDER,
+    "map_scrub": SQL_MAP_SCRUB,
     "writetime_greatest": SQL_WRITETIME_GREATEST,
     "token_range_scan": SQL_TOKEN_RANGE_SCAN,
     "coverage_sample": SQL_COVERAGE_SAMPLE,
