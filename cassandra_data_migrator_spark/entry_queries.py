@@ -1774,6 +1774,53 @@ SELECT doc_id, {portable_hash_sql('text')} AS fingerprint FROM documents
 """
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext URL canonicalization (dedup keying pre-step): fragment
+    strip, scheme/host lowercasing, default-port drop, query-param
+    sort. The raw URL is synthesized deterministically from doc_id +
+    source (the tables carry no URL column); the oracle builds the
+    identical raw string and replays the identical RE2 regexes, so the
+    canonicalizer itself is what's compared."""
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://Example.COM:443/"), F.col("source"),
+        F.lit("/Page?b="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#Sec"), F.col("doc_id").cast("string"),
+    )
+    out = textops.url_canonicalize(docs.withColumn("_u", raw), "_u")
+    return out.select("doc_id", "url_canon")
+
+
+SQL_URL_CANON = """
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://Example.COM:443/' || source || '/Page?b=' || CAST(doc_id % 7 AS VARCHAR)
+      || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#Sec' || CAST(doc_id AS VARCHAR) AS u
+  FROM documents
+), defrag AS (
+  SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM raw
+), lowered AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*'))
+      || substring(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*')) + 1) AS u
+  FROM defrag
+), unported AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(u, '^(https://[^/?:]*):443(/|$)', '\\1\\2'),
+                   '^(http://[^/?:]*):80(/|$)', '\\1\\2') AS u
+  FROM lowered
+)
+SELECT doc_id,
+  CASE WHEN length(u) > length(regexp_extract(u, '^[^?]*'))
+    THEN regexp_extract(u, '^[^?]*') || '?' ||
+         array_to_string(list_sort(string_split(
+           substring(u, length(regexp_extract(u, '^[^?]*')) + 2), '&')), '&')
+    ELSE regexp_extract(u, '^[^?]*') END AS url_canon
+FROM unported
+"""
+
+
 # ===================================================================== multimodal
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload plumbing: encode -> Arrow mapInPandas feature
@@ -1904,6 +1951,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_stats": q_token_stats,
     "token_bpeish": q_token_bpeish,
     "fingerprint": q_fingerprint,
+    "url_canon": q_url_canon,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "webtext_pipeline": q_webtext_pipeline,
@@ -1968,6 +2016,7 @@ ORACLES: dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "token_bpeish": SQL_TOKEN_BPEISH,
     "fingerprint": SQL_FINGERPRINT,
+    "url_canon": SQL_URL_CANON,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,

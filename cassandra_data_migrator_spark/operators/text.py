@@ -94,3 +94,31 @@ def fingerprint(df: DataFrame, col: str, id_col: str, hash_mode: str = "fast") -
     """Whole-document rolling-hash fingerprint (content identity key)."""
     h = portable_hash_expr(col) if hash_mode == "portable" else fast_hash(F.col(col))
     return df.select(F.col(id_col), h.alias("fingerprint"))
+
+
+def url_canonicalize(df: DataFrame, col: str, out_col: str = "url_canon") -> DataFrame:
+    """Canonicalize URLs for webtext dedup keying (standard crawl
+    pre-step; reference analog: none — CDM keys rows as-is):
+
+    1. strip the fragment,
+    2. lowercase scheme://host (path/query case preserved),
+    3. drop default ports (:80 for http, :443 for https),
+    4. sort query parameters (stable content-addressing for
+       param-order-permuted duplicates).
+
+    Pure map-side string expressions, RE2-compatible regexes (no
+    lookaround) so a DuckDB oracle can replay them verbatim.
+    """
+    u = F.regexp_replace(F.col(col), "#.*", "")
+    prefix = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    rest = u.substr(F.length(prefix) + F.lit(1), F.length(u))
+    low = F.concat(F.lower(prefix), rest)
+    low = F.regexp_replace(low, "^(https://[^/?:]*):443(/|$)", "$1$2")
+    low = F.regexp_replace(low, "^(http://[^/?:]*):80(/|$)", "$1$2")
+    base = F.regexp_extract(low, "^[^?]*", 0)
+    q = low.substr(F.length(base) + F.lit(2), F.length(low))
+    sorted_q = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    canon = F.when(
+        F.length(low) > F.length(base), F.concat(base, F.lit("?"), sorted_q)
+    ).otherwise(base)
+    return df.withColumn(out_col, canon)

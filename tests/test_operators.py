@@ -405,3 +405,22 @@ def test_asof_join_semantics_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert sum(1 for ln in final.splitlines()
                if "Exchange hashpartitioning" in ln) == 1, plan
+
+
+def test_url_canonicalize_edge_cases(spark):
+    from cassandra_data_migrator_spark.operators.text import url_canonicalize
+
+    cases = [
+        # (raw, expected)
+        ("HTTPS://A.COM:443/P?z=1&a=2#frag", "https://a.com/P?a=2&z=1"),
+        ("http://B.org:80/", "http://b.org/"),
+        ("http://b.org:80", "http://b.org"),
+        ("http://c.net:8080/x", "http://c.net:8080/x"),  # non-default port kept
+        ("https://D.io/Path/Sub", "https://d.io/Path/Sub"),  # path case kept
+        ("https://e.co/p?only=1", "https://e.co/p?only=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r["url_canon"] for r in
+           url_canonicalize(df, "u").orderBy("u").collect()]
+    want = [e for _, e in sorted(cases)]
+    assert got == want
