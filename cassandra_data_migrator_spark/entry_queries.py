@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .config import EngineConfig
 from .functions import transforms
-from .functions.hashes import P_MOD, minhash_coeffs, portable_hash_expr, portable_hash_sql
+from .functions.hashes import P_MOD, minhash_coeffs, portable_hash_sql
 from .operators import dedup, similarity, text as textops, multimodal
 from .operators.diff import STATUS_COL, diff
 from .operators.lww import lww_dedup

@@ -26,7 +26,7 @@ from .config import EngineConfig
 from .features import apply_features
 from .lineage import LineageStore
 from .metrics import JobCounter
-from .operators.diff import STATUS_COL, corrections, diff, diff_counters
+from .operators.diff import corrections, diff, diff_counters
 from .operators.guardrail import guardrail_check, guardrail_flags
 from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_skinny
 from .sources import changelog as wal

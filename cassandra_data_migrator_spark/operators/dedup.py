@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashes import P_MOD, fast_hash, minhash_coeffs, perm_expr, portable_hash_expr
+from ..functions.hashes import P_MOD, minhash_coeffs, perm_expr, portable_hash_expr
 
 
 # ------------------------------------------------------------------ exact
