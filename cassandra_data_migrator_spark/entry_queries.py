@@ -1782,11 +1782,22 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical raw string and replays the identical RE2 regexes, so the
     canonicalizer itself is what's compared."""
     docs = t(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.lit("HTTPS://Example.COM:443/"), F.col("source"),
-        F.lit("/Page?b="), (F.col("doc_id") % 7).cast("string"),
-        F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
-        F.lit("#Sec"), F.col("doc_id").cast("string"),
+    # odd doc_ids take the port-before-query form (no path) so the
+    # ':443?'-strip branch is exercised by the driver row too
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://Example.COM:443/"), F.col("source"),
+            F.lit("/Page?b="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("#Sec"), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://Example.COM:80?b="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("#Sec"), F.col("doc_id").cast("string"),
+        )
     )
     out = textops.url_canonicalize(docs.withColumn("_u", raw), "_u")
     return out.select("doc_id", "url_canon")
@@ -1795,8 +1806,13 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_URL_CANON = """
 WITH raw AS (
   SELECT doc_id,
-    'HTTPS://Example.COM:443/' || source || '/Page?b=' || CAST(doc_id % 7 AS VARCHAR)
-      || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#Sec' || CAST(doc_id AS VARCHAR) AS u
+    CASE WHEN doc_id % 2 = 0 THEN
+      'HTTPS://Example.COM:443/' || source || '/Page?b=' || CAST(doc_id % 7 AS VARCHAR)
+        || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#Sec' || CAST(doc_id AS VARCHAR)
+    ELSE
+      'HTTP://Example.COM:80?b=' || CAST(doc_id % 7 AS VARCHAR)
+        || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#Sec' || CAST(doc_id AS VARCHAR)
+    END AS u
   FROM documents
 ), defrag AS (
   SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM raw
@@ -1807,8 +1823,8 @@ WITH raw AS (
   FROM defrag
 ), unported AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(u, '^(https://[^/?:]*):443(/|$)', '\\1\\2'),
-                   '^(http://[^/?:]*):80(/|$)', '\\1\\2') AS u
+    regexp_replace(regexp_replace(u, '^(https://[^/?:]*):443(/|\\?|$)', '\\1\\2'),
+                   '^(http://[^/?:]*):80(/|\\?|$)', '\\1\\2') AS u
   FROM lowered
 )
 SELECT doc_id,

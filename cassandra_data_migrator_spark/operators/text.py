@@ -113,8 +113,10 @@ def url_canonicalize(df: DataFrame, col: str, out_col: str = "url_canon") -> Dat
     prefix = F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
     rest = u.substr(F.length(prefix) + F.lit(1), F.length(u))
     low = F.concat(F.lower(prefix), rest)
-    low = F.regexp_replace(low, "^(https://[^/?:]*):443(/|$)", "$1$2")
-    low = F.regexp_replace(low, "^(http://[^/?:]*):80(/|$)", "$1$2")
+    # default-port group matches path, query, or end-of-string forms so
+    # https://a.com:443?x=1 also dedups against its portless twin
+    low = F.regexp_replace(low, "^(https://[^/?:]*):443(/|\\?|$)", "$1$2")
+    low = F.regexp_replace(low, "^(http://[^/?:]*):80(/|\\?|$)", "$1$2")
     base = F.regexp_extract(low, "^[^?]*", 0)
     q = low.substr(F.length(base) + F.lit(2), F.length(low))
     sorted_q = F.array_join(F.array_sort(F.split(q, "&")), "&")
