@@ -1631,6 +1631,74 @@ def q_webtext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUDGET_TOKENS = 2000
+_BUDGET_QBUCKETS = 64  # quality-quantization fan-out for the prefix sum
+
+
+def budget_cutoff(
+    toks: DataFrame,
+    budget: int = _BUDGET_TOKENS,
+    lang_col: str = "lang_pred",
+    n_buckets: int = _BUDGET_QBUCKETS,
+) -> DataFrame:
+    """Rows surviving a per-language token-budget cutoff in (quality
+    DESC, doc_id) order, via a distributed two-phase prefix sum.
+
+    A single ``Window.partitionBy(lang)`` running sum routes EVERY
+    document of a language to one task — on a real web corpus the
+    dominant language holds ~half the corpus, so at 10^10 docs that one
+    task sorts ~5x10^9 rows. Instead:
+
+    1. quantize quality into ``n_buckets`` ORDER-RESPECTING buckets
+       (``floor(quality*B)``: a higher bucket strictly precedes a lower
+       one in quality-DESC order, so buckets are contiguous segments of
+       the global order);
+    2. per-(lang, bucket) token totals — a tiny partial-aggregated
+       groupBy (#langs x B rows);
+    3. exclusive running sum over the bucket totals = each bucket's
+       global offset (a window over <=B rows per language, not the
+       corpus), broadcast-joined back; buckets whose offset already
+       exceeds the budget are pruned before the join;
+    4. within-bucket running sum + offset == the exact global running
+       sum; cutoff applies row-wise.
+
+    The wide window is now partitioned by (lang, bucket) — B-fold
+    narrower. Degenerate case: a language where every doc has identical
+    quality collapses to one bucket; range-partitioning on the full
+    (quality, doc_id) key would shard ties too, at the cost of a
+    sampling pass. Requires ``quality`` in [0, 1] and columns
+    ``quality, doc_id, n_tokens``."""
+    from pyspark.sql import Window
+
+    toks = toks.withColumn(
+        "_qb",
+        F.least(
+            F.floor(F.col("quality") * n_buckets), F.lit(n_buckets - 1)
+        ).cast("int"),
+    )
+    per_bucket = toks.groupBy(lang_col, "_qb").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("_qb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).where(F.col("_off") <= budget)
+    joined = toks.join(
+        F.broadcast(offsets.select(lang_col, "_qb", "_off")), [lang_col, "_qb"]
+    )
+    w_in = (
+        Window.partitionBy(lang_col, "_qb")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("_cum", F.sum("n_tokens").over(w_in) + F.col("_off"))
+        .where(F.col("_cum") <= budget)
+        .drop("_qb", "_off")
+    )
 
 
 def q_webtext_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,10 +1707,10 @@ def q_webtext_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     until a configured token budget is exhausted (deterministic: quality
     DESC, doc_id tie-break).
 
-    Scale shape: same two shuffles as the pipeline plus ONE extra window
-    partitioned by language — a handful of partitions, each a running
-    sum, no extra join. At 10^10 docs the per-language partitions are
-    the only wide rows; a real corpus would pre-bucket by language."""
+    Scale shape: same two shuffles as the pipeline plus the two-phase
+    bucketed prefix sum of :func:`budget_cutoff` — no window ever spans
+    a whole language (the oracle's single global window is the
+    spec, not the plan)."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
@@ -1651,14 +1719,7 @@ def q_webtext_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     kept = kept.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     toks = textops.token_count(kept, "text")
-    wb = (
-        Window.partitionBy("lang_pred")
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sel = toks.withColumn("_cum", F.sum("n_tokens").over(wb)).where(
-        F.col("_cum") <= _BUDGET_TOKENS
-    )
+    sel = budget_cutoff(toks)
     return sel.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
@@ -1725,6 +1786,111 @@ SELECT lang_pred, COUNT(*) AS n_docs,
   MIN(quality) AS cutoff_quality
 FROM ranked WHERE cum <= {_BUDGET_TOKENS} GROUP BY lang_pred
 """
+
+
+# near-dup drop threshold for the full prep pipeline: estimated jaccard
+# (matching signature positions / K) at or above this drops the higher
+# doc_id of the pair — one-pass LSH dedup, keep-lowest-id rule
+_PREP_JACCARD = 0.5
+
+
+def q_webtext_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data prep pipeline as one plan: quality
+    score -> language ID -> quality filter -> exact dedup (keep lowest
+    doc_id per content hash) -> MinHash-LSH near-dup drop (a doc pairing
+    with ANY lower-id doc at est_jaccard >= threshold is dropped) ->
+    per-language token-budget cutoff -> per-language rollup.
+
+    Scale shape (corpus-sized shuffles only — see PLANS.md): (1) the
+    exact-dedup window on md5(text); (2) the banded-signature bucket
+    join (capped buckets, never all-pairs; candidate pairs are a
+    bounded, far smaller frame); (3) the anti-join of survivors against
+    the drop set (NOT broadcast by hand — the drop set can be a large
+    fraction of a crawl corpus, AQE may still broadcast when small);
+    (4) the bucketed two-phase budget prefix sum. Everything else is
+    map-side or over tiny aggregated frames."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = textops.lang_id(textops.quality_score(docs, "text"), "text")
+    kept = scored.where(F.col("quality") >= _PIPE_MIN_QUALITY)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sig = dedup.minhash_signature(
+        kept, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
+        hash_mode="portable",
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_K, bands=4,
+        max_bucket_size=_LSH_MAX_BUCKET,
+    )
+    drops = (
+        pairs.where(F.col("est_jaccard") >= _PREP_JACCARD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(drops, "doc_id", "left_anti")
+    toks = textops.token_count(survivors, "text")
+    sel = budget_cutoff(toks)
+    return sel.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def _full_prep_sql() -> str:
+    # minhash/banding CTEs re-rooted on the pipeline's deduped `kept`
+    # CTE (the base SQL's only FROM documents is the shingle source)
+    sig_over_kept = _MINHASH_BASE_SQL.replace("FROM documents", "FROM kept")
+    rows_per_band = _MINHASH_K // 4
+    unions = []
+    for b in range(4):
+        parts = " || ':' || ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        unions.append(f"SELECT doc_id, {b} AS band_id, {parts} AS band_sig FROM sig")
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(_MINHASH_K)
+    )
+    return f"""{_webtext_pipeline_sql()}
+, sig AS ({sig_over_kept})
+, banded AS (
+  SELECT * FROM ({' UNION ALL '.join(unions)})
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_sig) <= {_LSH_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+), drops AS (
+  SELECT DISTINCT id_b AS doc_id FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE CAST(({eq_terms}) AS DOUBLE) / {float(_MINHASH_K)} >= {_PREP_JACCARD}
+), surv AS (
+  SELECT * FROM kept k WHERE NOT EXISTS (
+    SELECT 1 FROM drops d WHERE d.doc_id = k.doc_id)
+), ranked AS (
+  SELECT lang_pred, n_toks, quality,
+    SUM(n_toks) OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM surv
+)
+SELECT lang_pred, COUNT(*) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM ranked WHERE cum <= {_BUDGET_TOKENS} GROUP BY lang_pred
+"""
+
+
+SQL_WEBTEXT_FULL_PREP = _full_prep_sql()
 
 
 def q_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,10 +2071,30 @@ FROM documents
 
 
 # ===================================================================== registry
+# ORDER IS ATTESTATION CURATION: the correctness driver records at most
+# the FIRST 50 entries, and the registry holds more. Iteration order is
+# therefore: (1) queries never yet recorded in any round's driver
+# artifact plus this round's additions, (2) the r3-only rows, (3) the
+# core surface, with 13 rows that are already green in
+# CORRECTNESS_r04.json rotated to the tail so the r4 ∪ r5 union attests
+# every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
+    # never driver-attested before r5 + new this round
+    "url_canon": q_url_canon,
+    "webtext_pipeline": q_webtext_pipeline,
+    "webtext_budget": q_webtext_budget,
+    "asof_state": q_asof_state,
+    "webtext_full_prep": q_webtext_full_prep,
+    # r3-attested only (rotated out of the r4 window)
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "token_bpeish": q_token_bpeish,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
     # CDC core (SURVEY §2.1-2.4)
-    "cdc_lww_latest": q_cdc_lww_latest,
-    "cdc_fold_upsert": q_cdc_fold_upsert,
     "cdc_op_mix": q_cdc_op_mix,
     "cdc_replay_final_state": q_cdc_replay_final_state,
     "point_lookup": q_point_lookup,
@@ -1917,9 +2103,7 @@ QUERIES: dict[str, QueryFn] = {
     "guardrail_large": q_guardrail_large,
     "guardrail_counts": q_guardrail_counts,
     # functions (SURVEY §2.6)
-    "explode_tokens": q_explode_tokens,
     "explode_map_kv": q_explode_map_kv,
-    "codec_ts_zone": q_codec_ts_zone,
     "extract_json": q_extract_json,
     "constants_rename": q_constants_rename,
     "nested_cast": q_nested_cast,
@@ -1927,29 +2111,20 @@ QUERIES: dict[str, QueryFn] = {
     "codec_casts": q_codec_casts,
     "codec_blob": q_codec_blob,
     "valid_keys": q_valid_keys,
-    "pk_render": q_pk_render,
-    "map_scrub": q_map_scrub,
     "writetime_greatest": q_writetime_greatest,
     # scan shaping (SURVEY §2.2)
     "token_range_scan": q_token_range_scan,
-    "coverage_sample": q_coverage_sample,
     "counter_delta": q_counter_delta,
     "origin_filters": q_origin_filters,
     "ttl_expiry": q_ttl_expiry,
     "sessionize": q_sessionize,
     "windowed_activity": q_windowed_activity,
-    "set_ops": q_set_ops,
     "skew_salted_agg": q_skew_salted_agg,
     # analytics headliners
     "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
     # training-data ops
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1961,18 +2136,20 @@ QUERIES: dict[str, QueryFn] = {
     "embed_cosine_pairs": q_embed_cosine_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
-    "token_stats": q_token_stats,
-    "token_bpeish": q_token_bpeish,
-    "fingerprint": q_fingerprint,
-    "url_canon": q_url_canon,
-    "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
-    "webtext_pipeline": q_webtext_pipeline,
-    "webtext_budget": q_webtext_budget,
-    "asof_state": q_asof_state,
+    # --- tail: r4-attested rows rotated out of the 50-row window ---
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_fold_upsert": q_cdc_fold_upsert,
+    "explode_tokens": q_explode_tokens,
+    "codec_ts_zone": q_codec_ts_zone,
+    "pk_render": q_pk_render,
+    "map_scrub": q_map_scrub,
+    "coverage_sample": q_coverage_sample,
+    "set_ops": q_set_ops,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
 }
 
 ORACLES: dict[str, str] = {
@@ -2037,5 +2214,6 @@ ORACLES: dict[str, str] = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,
     "webtext_budget": SQL_WEBTEXT_BUDGET,
+    "webtext_full_prep": SQL_WEBTEXT_FULL_PREP,
     "asof_state": SQL_ASOF_STATE,
 }
