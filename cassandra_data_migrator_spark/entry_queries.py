@@ -1487,8 +1487,9 @@ _IVF_PROBE = 4
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic training-free centroids
-    (lowest-id vectors), nearest-cell assignment, n_probe cell scan —
-    the data-adaptive ANN scale path next to hyperplane LSH."""
+    (hash-spaced vectors — immune to adversarial input ordering),
+    nearest-cell assignment, n_probe cell scan — the data-adaptive ANN
+    scale path next to hyperplane LSH."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(
@@ -1498,7 +1499,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_IVF_TOPK = f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  ORDER BY ((vec_id % {similarity.SPACED_MOD}) * {similarity.SPACED_MULT})
+             % {similarity.SPACED_MOD}, vec_id
+  LIMIT {_IVF_CENTROIDS}
 ), assign AS (
   SELECT e.vec_id, e.embedding, cid,
     row_number() OVER (

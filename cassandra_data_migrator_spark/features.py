@@ -98,7 +98,13 @@ def feature_pipeline(cfg: EngineConfig) -> list[Callable[[DataFrame], DataFrame]
     if raw_replace is not None:
         # the property carries the replacement VALUE (epoch-millis for the
         # timestamp keys it targets); parse it against the key column's
-        # actual type so the step is never a silent no-op
+        # actual type so the step is never a silent no-op.
+        # INTENTIONAL DIVERGENCE from the reference: CqlTable.convertNull
+        # applies this property only to timestamp keys and sources string
+        # defaults from a separate property; here ONE property covers any
+        # key type (applied verbatim to string keys) — a superset, locked
+        # in by test_feature_null_key_ts_replace_value_applied, so a
+        # single config knob replaces nulls regardless of key schema
         def replace_null_key(df: DataFrame, raw: str = str(raw_replace)) -> DataFrame:
             dt = dict(df.dtypes).get(cfg.key_col, "string")
             val: object

@@ -130,25 +130,35 @@ def ingest(
         ),
     }
 
+    auto_picks: dict[int, str] = {}
+
     def pick_strategy(filtered: DataFrame, epoch: int):
         """'auto': detect degenerate per-epoch skew with one cheap job —
         per-key counts (map-side combined; only distinct keys shuffle)
         over the key column alone (pruned scan). A key is hot when it
         exceeds both an absolute floor and the per-partition average;
-        then the two-phase salted fold bounds reducer fan-in."""
+        then the two-phase salted fold bounds reducer fan-in.
+
+        The decision is cached per epoch: a partially-applied epoch
+        resumed with rerun_multiplier>1 calls prepare_slice once per
+        slice group, and the probe's eager aggregation must not re-run
+        (nor epochs_salted record the same epoch twice)."""
         if lww_strategy != "auto":
             return strategies[lww_strategy]
-        stats = (
-            filtered.groupBy(cfg.key_col)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
-            .first()
-        )
-        mx, tot = stats["mx"] or 0, stats["tot"] or 0
-        if mx > max(cfg.skew_min_rows, tot / cfg.num_partitions):
-            result.epochs_salted.append(epoch)
-            return strategies["salted"]
-        return strategies["skinny"]
+        if epoch not in auto_picks:
+            stats = (
+                filtered.groupBy(cfg.key_col)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
+                .first()
+            )
+            mx, tot = stats["mx"] or 0, stats["tot"] or 0
+            if mx > max(cfg.skew_min_rows, tot / cfg.num_partitions):
+                result.epochs_salted.append(epoch)
+                auto_picks[epoch] = "salted"
+            else:
+                auto_picks[epoch] = "skinny"
+        return strategies[auto_picks[epoch]]
 
     def prepare_slice(batch: DataFrame, parts_slice: list[int], epoch: int):
         """Build the filtered+deduped plan for one commit slice; returns

@@ -185,19 +185,56 @@ def lsh_bucketed_topk(
     )
 
 
+# multiplicative id scramble for centroid seeding: mod-first keeps the
+# product inside int64 for ANY non-negative int64 id (2^32 * 1103515245
+# < 2^63), so Spark and DuckDB evaluate it bit-identically
+SPACED_MULT = 1103515245
+SPACED_MOD = 4294967296
+
+
+def spaced_init_rows(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic hash-spaced centroid seeds: the ``n_centroids``
+    rows with the smallest portable hash of their id (ties by id).
+
+    ``id < n`` seeding is deterministic but degenerate under
+    adversarial input ordering — if the first N rows are
+    near-duplicates every seed lands in one cluster. Ranking by a
+    multiplicative integer scramble of the id (Weyl-style: equidistant
+    ids land far apart) samples across the corpus regardless of how ids
+    were assigned, stays engine-portable as pure int64 arithmetic (the
+    oracle replays the identical expression; a string-polynomial hash
+    would NOT work — short id strings hash monotonically small), and
+    costs one distributed take-ordered of N rows — no full sort.
+    Assumes non-negative ids (true of every id column here)."""
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(SPACED_MOD)) * F.lit(SPACED_MULT),
+        F.lit(SPACED_MOD),
+    )
+    return (
+        emb.select(id_col, vec_col)
+        .orderBy(h, F.col(id_col))
+        .limit(n_centroids)
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means coarse quantizer (fixed Lloyd
     iterations) for a trained IVF index.
 
-    Seed-free init: the ``n_centroids`` lowest-id corpus vectors (the
-    same centroids the training-free ``ivf_topk`` default uses, so the
-    comparison isolates the training effect). Each iteration:
+    Seed-free init: hash-spaced corpus vectors via
+    :func:`spaced_init_rows` (the same seeds the training-free
+    ``ivf_topk`` default uses, so the comparison isolates the training
+    effect); pass ``init`` (``id, vector`` rows) to seed explicitly.
+    Each iteration:
 
     * **assign** — pure map-side argmax of ``dot(v, c/|c|)`` against
       LITERAL centroid arrays (the centroid matrix is driver-held
@@ -211,13 +248,10 @@ def kmeans_centroids(
     centroid. At 10^10 rows this is ``iters`` scans + metadata shuffles.
     """
     dims = len(emb.select(vec_col).first()[0])
-    init = (
-        emb.where(F.col(id_col) < n_centroids)
-        .orderBy(id_col)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents: list[list[float]] = [[float(x) for x in r[1]] for r in init]
+    if init is None:
+        init = spaced_init_rows(emb, n_centroids, id_col, vec_col)
+    seeds = init.limit(n_centroids).collect()
+    cents: list[list[float]] = [[float(x) for x in r[1]] for r in seeds]
 
     def unit(c: list[float]) -> list[float]:
         n = sum(x * x for x in c) ** 0.5
@@ -249,6 +283,35 @@ def kmeans_centroids(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-build step: each corpus row's nearest-centroid cell
+    (``id, cell``) — broadcast cross join + per-id ``max_by`` argmax
+    whose map-side combine collapses the k candidate rows before any
+    shuffle. The assignment half of :func:`ivf_topk`, exposed for
+    materializing a cell-partitioned index (and for auditing cell
+    balance: a degenerate quantizer shows up here as one cell holding
+    most of the corpus, which is the IVF scale-killer — probe cost is
+    bounded by cell size)."""
+    cent = F.broadcast(
+        centroids.select("_cid", "_cemb", norm_expr(F.col("_cemb")).alias("_cn"))
+    )
+    cos = dot_expr(F.col(vec_col), F.col("_cemb")) / (
+        norm_expr(F.col(vec_col)) * F.col("_cn")
+    )
+    scored = F.max_by(F.struct(F.col("_cid")), F.struct(cos, -F.col("_cid")))
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(cent)
+        .groupBy(id_col)
+        .agg(scored.getField("_cid").alias("cell"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -262,11 +325,11 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the data-adaptive
     counterpart to hyperplane LSH.
 
-    Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors serve
-    as deterministic, training-free centroids; pass ``centroids``
-    (``_cid int, _cemb array`` — e.g. :func:`kmeans_centroids`) to swap
-    in a trained quantizer — only this tiny DataFrame changes, not the
-    plan shape. Every corpus row is assigned to its nearest centroid's
+    Coarse quantizer: ``n_centroids`` deterministic hash-spaced corpus
+    vectors (:func:`spaced_init_rows`) serve as training-free
+    centroids; pass ``centroids`` (``_cid int, _cemb array`` — e.g.
+    :func:`kmeans_centroids`) to swap in a trained quantizer — only
+    this tiny DataFrame changes, not the plan shape. Every corpus row is assigned to its nearest centroid's
     cell via a broadcast cross join + argmax (map-side, no shuffle of
     the corpus); a query probes its ``n_probe`` nearest cells and scores
     only those cells' members — a bounded cell equi-join, like the LSH
@@ -275,7 +338,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = emb.where(F.col(id_col) < n_centroids).select(
+        centroids = spaced_init_rows(emb, n_centroids, id_col, vec_col).select(
             F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cemb")
         )
     cent = F.broadcast(

@@ -553,9 +553,17 @@ class LakeTable:
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self.versions()
-        keep_versions = versions[-retain_last:]
+        # the CURRENT-pointed version is ALWAYS retained, independent of
+        # retain_last: _swap publishes v{N}.json before swapping CURRENT,
+        # so a crash in that window leaves an orphan manifest NEWER than
+        # CURRENT — counting retention from the newest file would then
+        # delete the live manifest (and data files the orphan doesn't
+        # reference), bricking the table
+        with open(os.path.join(self._mdir, CURRENT_FILE)) as f:
+            current_v = int(f.read().strip())
+        keep_versions = set(versions[-retain_last:]) | {current_v}
         keep_files: set[str] = set()
-        for v in keep_versions:
+        for v in sorted(keep_versions):
             mf = self.manifest(v)
             for store in (mf.base, mf.deltas):
                 for files in store.values():
@@ -564,8 +572,9 @@ class LakeTable:
         # mid-vacuum then leaves only orphan (unreferenced) data files —
         # harmless, reclaimed by the next vacuum — never a readable
         # manifest version pointing at deleted files
-        for v in versions[:-retain_last]:
-            os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):

@@ -352,3 +352,37 @@ def test_time_travel_reads_and_vacuum(spark, events, tmp_path):
     with pytest.raises(ValueError, match="retained"):
         lake.read(version=v1)
     assert count_parquet() == n_before - removed
+
+
+def test_vacuum_survives_swap_crash_orphan(spark, events, tmp_path):
+    """_swap publishes v{N}.json BEFORE swapping CURRENT; a crash in
+    that window leaves an orphan manifest newer than CURRENT. vacuum
+    must still retain the CURRENT-pointed manifest and its data files —
+    counting retention from the newest file would delete the live
+    version and brick the table."""
+    import json
+    import os
+    import shutil
+
+    cfg = make_cfg(tmp_path)
+    ingest(spark, cfg, changelog_df=events.where(F.col("batch_epoch") < 3),
+           mode="mor")
+    lake = LakeTable(spark, cfg.lake_path)
+    cur_v = lake.manifest().version
+    before = {tuple(r) for r in lake.read().collect()}
+    # forge the crash: an orphan manifest at cur_v+1 referencing a
+    # compact-shaped rewrite (no files in common with CURRENT), with
+    # CURRENT still pointing at cur_v
+    mdir = os.path.join(str(tmp_path / "lake"), "_manifests")
+    with open(os.path.join(mdir, f"v{cur_v:08d}.json")) as f:
+        mf = json.load(f)
+    mf["version"] = cur_v + 1
+    mf["base"] = {"0": []}
+    mf["deltas"] = {}
+    with open(os.path.join(mdir, f"v{cur_v + 1:08d}.json"), "w") as f:
+        json.dump(mf, f)
+    lake.vacuum(retain_last=1)
+    # the CURRENT-pointed manifest survives and the table still reads
+    assert lake.manifest().version == cur_v
+    assert {tuple(r) for r in lake.read().collect()} == before
+    shutil.rmtree(str(tmp_path / "lake"), ignore_errors=True)

@@ -315,3 +315,195 @@ def test_stateful_lww_all_null_ts_key_matches_batch(spark, tmp_path):
     n_rows = [(r["text"], r["seq"]) for r in
               emitted.where("url = 'https://n'").orderBy("seq").collect()]
     assert n_rows == [("n1", 1), ("n-ts", 4)]
+
+
+def _write_epochs(spark, wal_dir, epochs, schema):
+    import time
+
+    for ep in epochs:
+        spark.createDataFrame(ep, schema).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("batch_epoch").parquet(wal_dir)
+        time.sleep(0.05)  # distinct file mtimes => stable trigger order
+
+
+def _run_feed(spark, wal_dir, ck_dir, name, **kw):
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+    from cassandra_data_migrator_spark.streaming.stateful import (
+        stateful_lww_updates,
+    )
+
+    stream = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wal_dir)
+    )
+    q = (
+        stateful_lww_updates(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    return q, spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stateful_lww_event_time_eviction_self_guarding(spark, tmp_path):
+    """Event-time state TTL: a key untouched past the TTL is evicted
+    (visible in the state-store row count), and the feed stays correct
+    because the SAME watermark that drove the eviction late-filters any
+    event old enough to have lost to the evicted winner — the change
+    feed never regresses."""
+    import datetime
+
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # epoch 0: key k wins at T+10; epochs 1-2: filler key advances the
+    # watermark past T+10 + ttl (1 min) — k evicts at the start of
+    # epoch 2's batch; epoch 3: an OLDER event (T+5) arrives for k and
+    # must NOT surface in the feed
+    epochs = [
+        [(0, 0, "I", "https://k", ts(10), None, "k-new", "en", 0)],
+        [(1, 0, "I", "https://f", ts(60), None, "f1", "en", 1)],
+        [(2, 0, "U", "https://f", ts(61), None, "f2", "en", 2)],
+        [(3, 0, "U", "https://k", ts(5), None, "k-old", "en", 3)],
+    ]
+    wal_dir = str(tmp_path / "wal")
+    _write_epochs(spark, wal_dir, epochs, WAL_SCHEMA)
+    q, emitted = _run_feed(
+        spark, wal_dir, str(tmp_path / "ck"), "lww_evt_evict",
+        state_ttl_ms=60_000, timeout_mode="event",
+    )
+    state_counts = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # state grew to 2 keys (k + f), then k was evicted
+    assert max(state_counts) == 2
+    assert state_counts[-1] == 1
+    k_rows = [(r["text"], r["seq"])
+              for r in emitted.where("url = 'https://k'").collect()]
+    assert k_rows == [("k-new", 0)]
+
+
+def test_stateful_lww_processing_eviction_reseed_old_event_still_loses(
+    spark, tmp_path
+):
+    """Processing-time (wall-clock) state TTL: unlike event-time mode
+    there is no watermark, so arbitrarily late events still reach the
+    operator after an eviction. A timed-out key that then receives an
+    OLDER-ts event must still lose — the reseed callback supplies the
+    sink's current winner on revisit (here: a lookup file the "sink"
+    publishes after the first flush, read executor-side exactly like a
+    real point lookup). The no-reseed control proves the eviction
+    fired: the same old event then (by design) restarts the key and is
+    crowned.
+
+    Runs under the default micro-batch trigger — processing-time
+    timeouts never fire under Trigger.AvailableNow (the query loops
+    without terminating), which is itself a documented constraint of
+    the mode."""
+    import datetime
+    import json
+    import os
+    import time
+
+    from cassandra_data_migrator_spark.streaming.replay import WAL_SCHEMA
+    from cassandra_data_migrator_spark.streaming.stateful import (
+        stateful_lww_updates,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    ttl_ms = 3_000
+
+    def wait_for(pred, timeout_s=90, step=0.5):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(step)
+        return False
+
+    def scenario(tag, with_reseed):
+        wal_dir = str(tmp_path / f"wal_{tag}")
+        lookup_path = str(tmp_path / f"sink_{tag}.json")
+
+        def reseed(key, path=lookup_path):
+            # executor-side sink point lookup (file plays the lake)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                return None
+            v = m.get(key)
+            if v is None:
+                return None
+            return (datetime.datetime.fromisoformat(v[0]), v[1])
+
+        _write_epochs(
+            spark, wal_dir,
+            [[(0, 0, "I", "https://k", ts(10), None, "k-new", "en", 0)]],
+            WAL_SCHEMA,
+        )
+        stream = (
+            spark.readStream.schema(WAL_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(wal_dir)
+        )
+        name = f"lww_proc_{tag}"
+        q = (
+            stateful_lww_updates(
+                stream, state_ttl_ms=ttl_ms, timeout_mode="processing",
+                reseed=reseed if with_reseed else None,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .start()
+        )
+        try:
+            def emitted():
+                return [(r["text"], r["seq"]) for r in
+                        spark.sql(f"SELECT text, seq FROM {name}").collect()]
+
+            assert wait_for(lambda: ("k-new", 0) in emitted())
+            # the sink flushes k's winner; then the wall clock passes the
+            # TTL and empty micro-batches fire the pending timeout
+            with open(lookup_path, "w") as f:
+                json.dump({"https://k": [ts(10).isoformat(), 0]}, f)
+            time.sleep(ttl_ms / 1000 + 2.0)
+            # deliver the OLDER event for the (now evicted) key
+            _write_epochs(
+                spark, wal_dir,
+                [[(1, 0, "U", "https://k", ts(5), None, "k-old", "en", 1)]],
+                WAL_SCHEMA,
+            )
+            if with_reseed:
+                # must NOT surface: give it ample time, expect silence
+                assert not wait_for(
+                    lambda: ("k-old", 1) in emitted(), timeout_s=15
+                )
+            else:
+                assert wait_for(lambda: ("k-old", 1) in emitted())
+            return emitted()
+        finally:
+            q.stop()
+
+    assert scenario("rs", True) == [("k-new", 0)]
+    # control: no reseed => evicted key restarts from nothing, the old
+    # event is crowned — proving the eviction actually fired
+    assert scenario("ctl", False) == [("k-new", 0), ("k-old", 1)]

@@ -234,12 +234,36 @@ def main() -> int:
         if re.search(r"Exchange|Window|HashAggregate|FileScan|Join", ln)
     )
     sections.append((
-        "webtext_budget — per-language token budget in one extra window",
-        "Same two shuffles as webtext_pipeline plus ONE window exchange "
-        "partitioned by predicted language: a running token sum ordered "
-        "by (quality DESC, doc_id) cuts each language at the budget. No "
-        "join, no extra pass over the corpus.",
-        trim(wb_lines, 20),
+        "webtext_budget — two-phase bucketed prefix sum",
+        "The running token sum is NEVER a single window over a whole "
+        "language (one language can be half a web corpus): quality is "
+        "quantized into 64 order-respecting buckets, so the wide window "
+        "below is partitioned by (lang_pred, _qb) — 64x narrower. The "
+        "only hashpartitioning(lang_pred)-alone exchanges feed (a) the "
+        "bucket-offset window over the TINY per-bucket totals frame "
+        "(<= 64 rows per language, broadcast back) and (b) the final "
+        "rollup aggregate. Within-bucket running sum + broadcast bucket "
+        "offset reproduces the exact global prefix sum.",
+        trim(wb_lines, 24),
+    ))
+
+    fp = QUERIES["webtext_full_prep"](spark, SF)
+    fp_lines = "\n".join(
+        ln for ln in fmt(spark, fp, "simple").splitlines()
+        if re.search(r"Exchange|Window|HashAggregate|FileScan|Join", ln)
+    )
+    sections.append((
+        "webtext_full_prep — the whole prep pipeline in <= 4 corpus shuffles",
+        "quality -> lang-ID -> filter (map-side, fused into the scan) -> "
+        "exact dedup (window exchange on md5) -> MinHash-LSH near-dup "
+        "drop (banded bucket join on capped buckets; candidate pairs are "
+        "a bounded far-smaller frame; survivors anti-join the drop set — "
+        "AQE broadcasts it when small, falls back to shuffle when a real "
+        "crawl's drop set is huge) -> bucketed two-phase budget prefix "
+        "sum -> per-language rollup. Corpus-sized exchanges: md5 window, "
+        "banded signatures, anti-join, budget window — everything else "
+        "is map-side or over tiny aggregated frames.",
+        trim(fp_lines, 34),
     ))
 
     asf = QUERIES["asof_state"](spark, SF)
