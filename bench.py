@@ -143,6 +143,7 @@ def headline_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "dedup_incremental": lambda: QUERIES["dedup_incremental"](spark, SF_DIR),
         "webtext_pipeline": lambda: QUERIES["webtext_pipeline"](spark, SF_DIR),
         "webtext_budget": lambda: QUERIES["webtext_budget"](spark, SF_DIR),
+        "webtext_full_prep": lambda: QUERIES["webtext_full_prep"](spark, SF_DIR),
         "asof_state": lambda: QUERIES["asof_state"](spark, SF_DIR),
     }
     # best-of-3, INTERLEAVED rounds (round-robin over all queries three

@@ -31,6 +31,9 @@ MEMBW_BAR = 0.58     # healthy idle: parallel memcpy ~0.65; probes swing ±0.05 
                      # the in-run scan probe + normalization is the real arbiter
 ADOPT_NORM = 0.95    # adoption bar for normalized efficiency (r2 run B: 0.993)
 ADOPT_SCAN = 0.60    # in-run bare-scan ceiling must itself look idle-ish
+TIGHT_RATIO = 1.3    # 16-core best-of-3 spread: max/min of the samples (r4
+                     # verdict: the adopted run's claim is unassailable only
+                     # when all three high-side samples agree)
 
 
 def main() -> int:
@@ -79,8 +82,10 @@ def main() -> int:
             f"cpu={result['substrate_cpu_efficiency']} "
             f"membw={result['substrate_membw_efficiency']} "
             f"low={result['low']['all_seconds']} high={result['high']['all_seconds']}")
+        high = result["high"]["all_seconds"]
+        tight = max(high) / min(high) <= TIGHT_RATIO
         if (result["normalized_efficiency"] or 0) >= ADOPT_NORM and \
-                result["substrate_scan_efficiency"] >= ADOPT_SCAN:
+                result["substrate_scan_efficiency"] >= ADOPT_SCAN and tight:
             say("ADOPTABLE — stopping. Curate BENCH/BASELINE.md from this "
                 "history.jsonl entry.")
             with open(os.path.join(REPO, "BENCH", "adoptable.json"), "w") as f:
