@@ -1934,6 +1934,39 @@ FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
 """
 
 
+# contamination screen: eval set = every 97th doc, 5-gram overlap
+_CONTAM_MOD = 97
+_CONTAM_N = 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 5-gram
+    with the (small, broadcast) eval split, plus the shared-gram count.
+    Eval grams distinct + broadcast; corpus grams map-side; only hit
+    rows shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % _CONTAM_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _CONTAM_MOD != 0)
+    return textops.contamination_screen(
+        corpus, eval_docs, "text", "doc_id", n=_CONTAM_N
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH eval_g AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({_grams_sql('text', _CONTAM_N)}) AS g
+    FROM documents WHERE doc_id % {_CONTAM_MOD} = 0)
+), corpus_g AS (
+  SELECT doc_id, unnest({_grams_sql('text', _CONTAM_N)}) AS g
+  FROM documents WHERE doc_id % {_CONTAM_MOD} <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corpus_g JOIN eval_g USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return textops.fingerprint(docs, "text", "doc_id", hash_mode="portable")
@@ -2089,6 +2122,7 @@ QUERIES: dict[str, QueryFn] = {
     "webtext_budget": q_webtext_budget,
     "asof_state": q_asof_state,
     "webtext_full_prep": q_webtext_full_prep,
+    "contamination": q_contamination,
     # r3-attested only (rotated out of the r4 window)
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
@@ -2219,5 +2253,6 @@ ORACLES: dict[str, str] = {
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,
     "webtext_budget": SQL_WEBTEXT_BUDGET,
     "webtext_full_prep": SQL_WEBTEXT_FULL_PREP,
+    "contamination": SQL_CONTAMINATION,
     "asof_state": SQL_ASOF_STATE,
 }

@@ -124,3 +124,41 @@ def url_canonicalize(df: DataFrame, col: str, out_col: str = "url_canon") -> Dat
         F.length(low) > F.length(base), F.concat(base, F.lit("?"), sorted_q)
     ).otherwise(base)
     return df.withColumn(out_col, canon)
+
+
+def contamination_screen(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing any word
+    n-gram with an evaluation set, with the count of distinct shared
+    grams — the decontamination step of a training-data pipeline
+    (n-gram-overlap screening as popularized by public LM training
+    reports).
+
+    Scale shape: eval sets are small (benchmarks run thousands of
+    documents, the corpus runs billions), so the eval gram set is
+    DISTINCTed and broadcast; corpus grams are generated map-side
+    (explode of an array expression, no shuffle) and probed against the
+    broadcast hash relation in place. Only HIT rows — contaminated
+    (doc, gram) pairs, rare by construction — reach the final
+    per-document aggregate, so the one real shuffle is proportional to
+    contamination, not corpus size.
+    """
+    from .dedup import word_shingles
+
+    eval_grams = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        id_col, F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
