@@ -445,7 +445,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdm-spark")
     p.add_argument(
         "job", choices=["ingest", "validate", "guardrail", "generate", "dedup",
-                        "compact", "vacuum"]
+                        "feed", "compact", "vacuum"]
     )
     p.add_argument("--config", help="JSON config file", default=None)
     p.add_argument("--properties", default=None,
@@ -484,7 +484,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pairs", dest="pairs_dir", default=None,
                    help="dedup: candidate-pair output directory")
     p.add_argument("--checkpoint", dest="checkpoint_dir", default=None,
-                   help="dedup: streaming checkpoint directory")
+                   help="dedup/feed: streaming checkpoint directory")
+    p.add_argument("--feed", dest="feed_dir", default=None,
+                   help="feed: change-data-feed output directory")
+    p.add_argument("--state-ttl-ms", dest="state_ttl_ms", type=int,
+                   default=None,
+                   help="feed: event-time state TTL for cold-key eviction")
     p.add_argument("--retain-last", dest="retain_last", type=int, default=1,
                    help="vacuum: keep this many newest snapshot versions")
     args = p.parse_args(argv)
@@ -537,6 +542,20 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:  # no batch emitted any pair -> nothing written
             n = 0
         print(f"Final Candidate Pair Count: {n}")
+    elif args.job == "feed":
+        # materialize the LWW change feed: per micro-batch, the keys
+        # whose winner changed, exactly-once via batch_id= overwrite
+        from .streaming.stateful import stream_feed
+
+        if not (args.feed_dir and args.checkpoint_dir):
+            p.error("feed requires --feed and --checkpoint")
+        stream_feed(spark, cfg, args.checkpoint_dir, args.feed_dir,
+                    state_ttl_ms=args.state_ttl_ms)
+        try:
+            n = spark.read.parquet(args.feed_dir).count()
+        except Exception:  # no batch emitted any update
+            n = 0
+        print(f"Final Feed Update Count: {n}")
     elif args.job == "compact":
         res = LakeTable(spark, cfg.lake_path).compact()
         print(f"Final Compacted Bucket Count: {res.buckets_rewritten}")

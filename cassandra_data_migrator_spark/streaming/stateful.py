@@ -24,6 +24,7 @@ from typing import Callable, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -183,3 +184,66 @@ def stateful_lww_updates(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def stream_feed(
+    spark,
+    cfg,
+    checkpoint_dir: str,
+    feed_dir: str,
+    max_files_per_trigger: int = 4,
+    timeout_sec: int = 600,
+    state_ttl_ms: int | None = None,
+    reseed: ReseedFn | None = None,
+):
+    """Materialize the LWW change feed: tail the WAL, keep the per-key
+    winner in streaming state, and write each micro-batch's CHANGED
+    winners into a ``batch_id=`` partition of ``feed_dir`` — the
+    change-data-feed table downstream incremental consumers read
+    (at most one row per key per batch, strictly increasing (ts, seq)
+    per key across partitions).
+
+    Exactly-once without a transactional sink: dynamic partition
+    overwrite on ``batch_id`` — a foreachBatch retry rewrites the same
+    partition byte-identically instead of duplicating (same idempotence
+    idea as ``streaming/dedup.py``). Trigger.AvailableNow drains what
+    exists then stops; rerunning with the checkpoint emits nothing new.
+
+    ``state_ttl_ms``/``reseed`` pass through to
+    :func:`stateful_lww_updates` — NOTE processing-time eviction never
+    fires under AvailableNow; use event mode (the default) here.
+    """
+    from .replay import WAL_SCHEMA
+
+    stream = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(cfg.changelog_path)
+    )
+    updates = stateful_lww_updates(
+        stream.drop("partition", "batch_epoch"),
+        cfg.key_col, cfg.ts_col, cfg.seq_col,
+        state_ttl_ms=state_ttl_ms, reseed=reseed,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(feed_dir)
+        )
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    terminated = q.awaitTermination(timeout_sec)
+    if not terminated:
+        q.stop()
+        q.awaitTermination()
+    return q

@@ -11,6 +11,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cassandra_data_migrator_spark import jobs
 from cassandra_data_migrator_spark.lineage import LineageStore
 from cassandra_data_migrator_spark.sources import changelog as wal
@@ -175,6 +177,42 @@ def test_cli_dedup_job(spark, workdir, tmp_path):
     # the signature index grew one partition per drained micro-batch
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert idx.count() > 0 and "batch_id" in idx.columns
+
+
+def test_cli_feed_job(spark, workdir, tmp_path):
+    """The feed subcommand materializes the LWW change-data-feed:
+    per-key final transition equals the batch LWW winner, (ts, seq) is
+    strictly increasing per key across the feed, and a checkpointed
+    rerun is a no-op (same count, no duplicates)."""
+    from pyspark.sql import Window
+
+    from cassandra_data_migrator_spark.operators.lww import lww_dedup
+
+    args = [
+        "feed", "--changelog", workdir["wal"],
+        "--feed", str(tmp_path / "feed"),
+        "--checkpoint", str(tmp_path / "fck"),
+    ]
+    assert jobs.main(args) == 0
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    n = feed.count()
+    assert n > 0 and "batch_id" in feed.columns
+    # final transition per key == batch LWW winner over the whole WAL
+    ev = spark.read.parquet(workdir["wal"])
+    expected = lww_dedup(ev.drop("partition", "batch_epoch"),
+                         "url", "warc_ts", "seq").select("url", "warc_ts", "seq")
+    final = lww_dedup(feed, "url", "warc_ts", "seq").select("url", "warc_ts", "seq")
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+    # change-feed property: strictly increasing (ts, seq) per key
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    regress = feed.withColumn("_p", F.lag("seq").over(w)).where(
+        F.col("_p").isNotNull() & (F.col("seq") <= F.col("_p"))
+    )
+    assert regress.count() == 0
+    # checkpointed rerun: nothing new
+    assert jobs.main(args) == 0
+    assert spark.read.parquet(str(tmp_path / "feed")).count() == n
 
 
 def test_feature_pipeline_unit(spark):
