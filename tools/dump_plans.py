@@ -266,6 +266,18 @@ def main() -> int:
         trim(fp_lines, 34),
     ))
 
+    cont = QUERIES["contamination"](spark, SF)
+    sections.append((
+        "contamination — eval-set n-gram screen, hit-proportional shuffle",
+        "Benchmark decontamination: the (small) eval split's distinct "
+        "5-grams broadcast; corpus grams are generated map-side by an "
+        "array explode and probed against the broadcast relation in "
+        "place — only HIT rows reach the per-document aggregate, so the "
+        "one real shuffle is proportional to contamination, not corpus "
+        "size.",
+        trim(fmt(spark, cont, "simple"), 18),
+    ))
+
     asf = QUERIES["asof_state"](spark, SF)
     sections.append((
         "asof_state — point-in-time join as union + running-last window",
