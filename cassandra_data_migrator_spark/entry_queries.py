@@ -1604,6 +1604,147 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone → typed placeholders) with
+    per-category hit counts. The PII strings are synthesized
+    deterministically from doc_id (the synthetic corpus carries none);
+    the oracle builds the identical raw text and replays the identical
+    RE2 patterns in the identical order, so the scrubber itself is
+    what's compared. doc_id % 4 == 3 rows stay clean so the no-hit
+    path is exercised too."""
+    docs = t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    aug = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact u"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"), F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"), F.lit(" logged"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.col("text"), F.lit(" call 555-010-"),
+                (F.col("doc_id") % 9000 + 1000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    out = textops.pii_scrub(docs.select("doc_id", aug.alias("_t")), "_t")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "text_scrubbed")
+
+
+def _pii_sql() -> str:
+    """Oracle replays pii_scrub's rule chain: count on the text as it
+    stands when each rule runs, then replace, in PII_RULES order."""
+    stages = []
+    prev = "t0"
+    names = []
+    for i, (name, pat, repl) in enumerate(textops.PII_RULES):
+        cur = f"t{i + 1}"
+        carried = ", ".join(f"n_{n}" for n in names)
+        carried = f"{carried}, " if carried else ""
+        stages.append(
+            f"s{i + 1} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur} FROM "
+            f"{'aug' if i == 0 else f's{i}'})"
+        )
+        names.append(name)
+        prev = cur
+    cols = ", ".join(f"n_{n}" for n in names)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' contact u' || CAST(doc_id % 50 AS VARCHAR) || '@mail.example.com now'
+         WHEN doc_id % 4 = 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+         WHEN doc_id % 4 = 2 THEN text || ' call 555-010-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' today'
+         ELSE text END AS t0
+  FROM documents
+), {', '.join(stages)}
+SELECT doc_id, {cols}, {prev} AS text_scrubbed FROM s{len(textops.PII_RULES)}
+"""
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+
+def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition + shape screens (word count,
+    mean word length, duplicate 2-/3-gram fractions, composite keep
+    flag) — all map-side HOF folds, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    out = textops.repetition_stats(docs, "text")
+    return out.select(
+        "doc_id", "n_words", "mean_word_len",
+        "dup_2gram_frac", "dup_3gram_frac", "keep",
+    )
+
+
+def _raw_grams_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len(w) - {n - 1}), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))"
+    )
+
+
+SQL_REPETITION_RULES = f"""
+WITH g AS (
+  SELECT doc_id, len(w) AS n_words,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_wl,
+    {_raw_grams_sql(2)} AS g2,
+    {_raw_grams_sql(3)} AS g3
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), s AS (
+  SELECT doc_id, n_words,
+    CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+    CASE WHEN len(g2) > 0
+      THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+      ELSE 0.0 END AS dup_2gram_frac,
+    CASE WHEN len(g3) > 0
+      THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+      ELSE 0.0 END AS dup_3gram_frac
+  FROM g
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+  dup_2gram_frac, dup_3gram_frac,
+  (n_words >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+   AND dup_2gram_frac <= 0.75) AS keep
+FROM s
+"""
+
+
+def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host document quota: top-5 docs per source by
+    n_chars with doc_id tie-break. The window partitions on the HOST
+    key — ~10^8 fine-grained naturally-balanced groups on a real
+    crawl, the opposite of the per-language partition webtext_budget
+    had to two-phase."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.host_quota(docs, "source", "n_chars", "doc_id", k=5)
+
+
+SQL_HOST_QUOTA = """
+SELECT source, doc_id, CAST(host_rank AS BIGINT) AS host_rank, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS host_rank
+  FROM documents)
+WHERE host_rank <= 5
+"""
+
+
 _PIPE_MIN_QUALITY = 0.5
 
 
@@ -2117,6 +2258,9 @@ FROM documents
 # every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
+    "pii_scrub": q_pii_scrub,
+    "repetition_rules": q_repetition_rules,
+    "host_quota": q_host_quota,
     "url_canon": q_url_canon,
     "webtext_pipeline": q_webtext_pipeline,
     "webtext_budget": q_webtext_budget,
@@ -2248,6 +2392,9 @@ ORACLES: dict[str, str] = {
     "token_bpeish": SQL_TOKEN_BPEISH,
     "fingerprint": SQL_FINGERPRINT,
     "url_canon": SQL_URL_CANON,
+    "pii_scrub": SQL_PII_SCRUB,
+    "repetition_rules": SQL_REPETITION_RULES,
+    "host_quota": SQL_HOST_QUOTA,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "webtext_pipeline": SQL_WEBTEXT_PIPELINE,

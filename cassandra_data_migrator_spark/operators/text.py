@@ -126,6 +126,119 @@ def url_canonicalize(df: DataFrame, col: str, out_col: str = "url_canon") -> Dat
     return df.withColumn(out_col, canon)
 
 
+# PII scrub rules, applied in order; counts are taken on the text as it
+# stands when each rule runs (an email's host is scrubbed as part of the
+# email, never double-counted as an IP). RE2-compatible (no lookaround,
+# no backrefs) so a DuckDB oracle replays the identical patterns.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, col: str, out_col: str = "text_scrubbed") -> DataFrame:
+    """PII redaction for webtext training corpora (emails, IPv4
+    addresses, NANP-style phone numbers → typed placeholder tokens),
+    with per-category hit counts.
+
+    Pure map-side regexp expressions — zero shuffle, survives
+    whole-stage codegen at any corpus size. Patterns are deliberately
+    RE2-safe and conservative (precision over recall): a corpus-scale
+    scrubber must never catastrophically backtrack, so no lookaround
+    and bounded quantifiers only.
+    """
+    cur = F.col(col)
+    counts: list[Column] = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        "*", *counts, cur.alias(out_col)
+    )
+
+
+def _raw_grams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams (repetition measurement needs the
+    multiset, unlike dedup's distinct shingles)."""
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    col: str,
+    min_words: int = 10,
+    max_dup_2gram_frac: float = 0.75,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition and shape screens: word
+    count, mean word length, duplicate 2-gram / 3-gram fractions, and
+    the composite keep flag.
+
+    All map-side HOF array folds over the token array — no shuffle, no
+    per-doc explode; the duplicate-gram fraction is size(grams) −
+    size(array_distinct(grams)) over the raw (multiset) gram list.
+    Ratios are a single int/int double division each, bit-identical
+    across engines.
+    """
+    toks = tokens_expr(col)
+    n_words = F.size(toks)
+    sum_wl = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    g2 = _raw_grams(toks, 2)
+    g3 = _raw_grams(toks, 3)
+    dup2 = F.size(g2) - F.size(F.array_distinct(g2))
+    dup3 = F.size(g3) - F.size(F.array_distinct(g3))
+    mean_wl = sum_wl.cast("double") / n_words.cast("double")
+    frac2 = F.when(F.size(g2) > 0, dup2.cast("double") / F.size(g2).cast("double")).otherwise(F.lit(0.0))
+    frac3 = F.when(F.size(g3) > 0, dup3.cast("double") / F.size(g3).cast("double")).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= F.lit(min_words))
+        & (mean_wl >= F.lit(min_mean_word_len))
+        & (mean_wl <= F.lit(max_mean_word_len))
+        & (frac2 <= F.lit(max_dup_2gram_frac))
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("dup_2gram_frac", frac2)
+        .withColumn("dup_3gram_frac", frac3)
+        .withColumn("keep", keep)
+    )
+
+
+def host_quota(
+    df: DataFrame,
+    host_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-host document quota (CCNet-style): keep the top-k documents
+    of each host, ranked by a quality proxy with a deterministic id
+    tie-break — caps boilerplate-heavy domains from dominating a crawl.
+
+    One shuffle on the host key. Scale note: unlike a per-language
+    partition (few huge groups — see webtext_budget's two-phase fix),
+    hosts number ~10^8 on a real crawl with small per-host groups, so
+    `Window.partitionBy(host)` is the RIGHT shape here: fine-grained,
+    naturally balanced, and the rank cutoff prunes inside each task.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.col(order_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= F.lit(k))
+        .select(host_col, id_col, "host_rank", order_col)
+    )
+
+
 def contamination_screen(
     corpus: DataFrame,
     eval_docs: DataFrame,
