@@ -1268,6 +1268,60 @@ def _incremental_pairs_sql() -> str:
 SQL_DEDUP_INCREMENTAL = _incremental_pairs_sql()
 
 
+_CLUSTER_MIN_JACCARD = 0.5
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the decision step the pair
+    operators feed: LSH candidate pairs (est_jaccard >= 0.5) →
+    connected components (alternating large-star/small-star, O(log n)
+    rounds) → every doc labeled with its component-min cluster_id and a
+    keep flag (the canonical member). Singletons keep themselves.
+
+    The oracle replays the identical pair generation and resolves
+    components with a recursive reachability CTE — an independent
+    algorithm agreeing on the same partition of the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
+        hash_mode="portable",
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=_MINHASH_K, bands=4,
+        max_bucket_size=_LSH_MAX_BUCKET,
+    ).where(F.col("est_jaccard") >= _CLUSTER_MIN_JACCARD)
+    labels = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_JACCARD}
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_JACCARD}
+),
+walk(node, root) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+),
+cc AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id,
+  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+  d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, portable hash)."""
     docs = t(spark, sf_dir, "documents")
@@ -2258,6 +2312,7 @@ FROM documents
 # every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
+    "dedup_clusters": q_dedup_clusters,
     "pii_scrub": q_pii_scrub,
     "repetition_rules": q_repetition_rules,
     "host_quota": q_host_quota,
@@ -2392,6 +2447,7 @@ ORACLES: dict[str, str] = {
     "token_bpeish": SQL_TOKEN_BPEISH,
     "fingerprint": SQL_FINGERPRINT,
     "url_canon": SQL_URL_CANON,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_rules": SQL_REPETITION_RULES,
     "host_quota": SQL_HOST_QUOTA,

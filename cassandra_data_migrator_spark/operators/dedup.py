@@ -419,3 +419,90 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — the O(log n)-round
+    algorithm, NOT naive min-label flooding whose round count is the
+    graph DIAMETER: an adversarial near-dup chain doc1~doc2~...~docN
+    would need N rounds under flooding but ~log N here).
+
+    Returns ``(node, cluster_id)`` with one row per non-root member —
+    each node maps to its component's minimum id; the minimum itself is
+    omitted (callers coalesce to the node id, which also covers
+    singleton docs that appear in no pair).
+
+    Scale notes (10^10 docs):
+      * each round is two groupBy-min shuffles + two hash joins on
+        (long, long) edges — payload never travels;
+      * the edge set only shrinks after round one (stars contract), so
+        later rounds are cheap;
+      * ``localCheckpoint`` per round truncates the iterative lineage
+        (an unbounded plan is the classic driver OOM on iterative
+        Spark);
+      * convergence is an exact check (count + anti-join) per round —
+        bounded-metadata actions, no ``collect`` of data rows.
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        if not edges.take(1):
+            return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        # large-star: every node u attaches its neighbors v > u to
+        # m = min(neighborhood(u) + u)
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+        large = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_mn"), F.col("u")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonicalize to (hi=u, lo=v); every node links its
+        # smaller neighbors (and itself) to the minimum of that set
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            e2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .union(mins2.select("u", F.col("_mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact convergence: same edge count and no edge outside the
+        # previous set (both bounded-metadata driver actions)
+        if (
+            small.count() == edges.count()
+            and small.join(edges, ["u", "v"], "left_anti").take(1) == []
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))

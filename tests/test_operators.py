@@ -513,3 +513,63 @@ def test_ann_ivf_adversarial_ordering_hash_spaced_init(spark):
                                       n_probe=2).collect()}
     recall = len(exact & a) / len(exact)
     assert recall >= 0.6, f"hash-spaced recall {recall} below gate"
+
+
+def _uf_components(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _cc_spark(spark, edge_list):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_list], "id_a long, id_b long"
+    )
+    rows = dedup.connected_components(df, "id_a", "id_b").collect()
+    return {r.node: r.cluster_id for r in rows}
+
+
+def test_connected_components_vs_union_find_random(spark):
+    import random
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 150))
+        ]
+        want = _uf_components(n, edges)
+        got = _cc_spark(spark, edges)
+        touched = {a for e in edges for a in e if e[0] != e[1]}
+        for node in touched:
+            assert got.get(node, node) == want[node], (seed, node)
+
+
+def test_connected_components_adversarial_chain(spark):
+    # a 300-link near-dup chain: min-label flooding would need 300
+    # rounds; star contraction must land it well inside max_iters
+    edges = [(i, i + 1) for i in range(300)]
+    got = _cc_spark(spark, edges)
+    for node in range(1, 301):
+        assert got[node] == 0
+    assert 0 not in got  # root omitted
+
+
+def test_connected_components_cliques_and_empty(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    got = _cc_spark(spark, edges)
+    assert all(got[x] == 0 for x in range(1, 5))
+    assert all(got[x] == 10 for x in range(11, 14))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty).count() == 0
