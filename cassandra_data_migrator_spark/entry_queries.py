@@ -1281,6 +1281,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical pair generation and resolves
     components with a recursive reachability CTE — an independent
     algorithm agreeing on the same partition of the corpus."""
+    return _cluster_members(spark, sf_dir).withColumn(
+        "keep", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document: LSH pairs above the
+    jaccard threshold → connected components → component-min label,
+    singletons labeled with themselves."""
     docs = t(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(
         docs, "text", "doc_id", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N,
@@ -1298,12 +1307,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         )
-        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
 
 
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
+# shared recursive-reachability CTE chain: pairs → bidirectional edges
+# → (node, root) walk → component-min label per node
+_CC_CTES = f"""pairs AS ({SQL_DEDUP_MINHASH_PAIRS}),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs WHERE est_jaccard >= {_CLUSTER_MIN_JACCARD}
   UNION
@@ -1314,12 +1323,53 @@ walk(node, root) AS (
   UNION
   SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
 ),
-cc AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node)
-SELECT d.doc_id,
-  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
-  d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
-FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+cc AS (SELECT node, MIN(root) AS cluster_id FROM walk GROUP BY node),
+members AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)"""
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CC_CTES}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM members
 """
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-member election per near-dup cluster: instead of the
+    min-id representative, keep the HIGHEST-QUALITY member (doc_id
+    tie-break) — the policy an actual training-corpus dedup wants.
+    Output is one row per cluster with its size and elected doc.
+
+    Composition: cluster labels (LSH pairs → connected components) ⋈
+    quality scores → per-cluster rank window. The window partitions on
+    cluster_id — near-dup clusters are small and numerous (bounded by
+    LSH bucket caps), so the partition is naturally balanced."""
+    from pyspark.sql.window import Window
+
+    members = _cluster_members(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    scored = textops.quality_score(docs, "text").select("doc_id", "quality")
+    joined = members.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "n_members",
+            F.col("quality").alias("canonical_quality"),
+        )
+    )
+
+
+# SQL_DEDUP_CANONICAL is defined after SQL_QUALITY_SCORE (it embeds it)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,6 +1689,23 @@ FROM (
 SQL_QUALITY_SCORE = _quality_sql()
 
 
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_CC_CTES},
+q AS ({SQL_QUALITY_SCORE.replace('SELECT doc_id,', 'SELECT doc_id AS qd,', 1)}),
+r AS (
+  SELECT m.cluster_id, m.doc_id, q.quality,
+    ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                       ORDER BY q.quality DESC, m.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM members m JOIN q ON q.qd = m.doc_id
+)
+SELECT cluster_id, doc_id AS canonical_id,
+  CAST(n_members AS BIGINT) AS n_members,
+  quality AS canonical_quality
+FROM r WHERE rk = 1
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = textops.token_count(t(spark, sf_dir, "documents"), "text")
     return docs.groupBy("lang").agg(
@@ -1796,6 +1863,70 @@ FROM (
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS host_rank
   FROM documents)
 WHERE host_rank <= 5
+"""
+
+
+_PACK_CAPACITY = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every doc mapped to its
+    training-bin id, in-bin token offset, and boundary-spill flag via
+    the two-phase (id-range-bucketed) exclusive prefix sum — the oracle
+    states the spec as ONE global running-sum window; the Spark plan
+    must never contain that window (plan-shape pinned by a pytest)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = textops.token_count(docs, "text")
+    return textops.pack_sequences(
+        toks, "doc_id", "n_tokens", capacity=_PACK_CAPACITY, n_buckets=8
+    ).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+             "bin_id", "bin_offset", "spans_next")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS BIGINT) AS cb
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+  cb // {_PACK_CAPACITY} AS bin_id,
+  cb % {_PACK_CAPACITY} AS bin_offset,
+  (cb % {_PACK_CAPACITY}) + n_tokens > {_PACK_CAPACITY} AS spans_next
+FROM c
+"""
+
+
+def q_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha=0.5): keep rate
+    sqrt(N_min/N_lang) per language via a deterministic LCG id
+    scramble — map-side decision, one broadcast of the #langs-row
+    count frame."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.temperature_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id"
+    )
+
+
+SQL_LANG_SAMPLE = f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+), m AS (SELECT MIN(n_l) AS n_min FROM c)
+SELECT d.doc_id, d.lang,
+  CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE) AS sample_rate,
+  (d.u * d.u) < CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE) AS keep
+FROM (
+  SELECT doc_id, lang,
+    CAST(((doc_id % {similarity.SPACED_MOD}) * {similarity.SPACED_MULT}
+          + {textops.SAMPLE_INC}) % {similarity.SPACED_MOD} AS DOUBLE)
+      / {float(similarity.SPACED_MOD)} AS u
+  FROM documents) d
+JOIN c USING (lang) CROSS JOIN m
 """
 
 
@@ -2313,6 +2444,9 @@ FROM documents
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
+    "pack_sequences": q_pack_sequences,
+    "lang_sample": q_lang_sample,
     "pii_scrub": q_pii_scrub,
     "repetition_rules": q_repetition_rules,
     "host_quota": q_host_quota,
@@ -2448,6 +2582,9 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "url_canon": SQL_URL_CANON,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "lang_sample": SQL_LANG_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_rules": SQL_REPETITION_RULES,
     "host_quota": SQL_HOST_QUOTA,

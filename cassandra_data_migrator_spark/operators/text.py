@@ -275,3 +275,117 @@ def contamination_screen(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tokens",
+    capacity: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for training-example assembly:
+    documents concatenated in deterministic ``id_col`` order and cut
+    into ``capacity``-token bins. Emits each doc's bin id, its token
+    offset inside the bin, and whether it spills into the next bin —
+    exactly what a downstream example-writer needs to materialize
+    packed training sequences.
+
+    The defining quantity is the EXCLUSIVE global prefix sum of token
+    counts in id order — the same serializing shape ``budget_cutoff``
+    two-phases: a single ``Window.orderBy(id)`` funnels the whole
+    corpus through one task. Same fix, id-space flavor:
+
+    1. quantize ids into ``n_buckets`` ORDER-RESPECTING range buckets
+       (span from one bounded max-id agg; a corpus with pathological id
+       distribution would swap in ``repartitionByRange``'s sampler);
+    2. per-bucket token totals (tiny), exclusive running sum over the
+       <=B bucket rows = bucket offsets, broadcast back;
+    3. within-bucket exclusive running sum + offset == the exact global
+       prefix sum; bin arithmetic is then row-local integer math.
+    """
+    from pyspark.sql.window import Window
+
+    mx = df.agg(F.max(F.col(id_col))).first()[0]
+    if mx is None:
+        mx = 0
+    span = max(1, (int(mx) + n_buckets) // n_buckets)
+    toks = df.select(
+        F.col(id_col), F.col(tok_col).cast("long").alias("_nt")
+    ).withColumn("_pb", (F.col(id_col).cast("long") / F.lit(span)).cast("long"))
+    per_bucket = toks.groupBy("_pb").agg(F.sum("_nt").alias("_bt"))
+    w_off = (
+        Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    )  # <=n_buckets rows total: a deliberate tiny single-task window
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    )
+    w_in = (
+        Window.partitionBy("_pb")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("_nt").over(w_in), F.lit(0)) + F.col("_off")
+    return (
+        toks.join(F.broadcast(offsets.select("_pb", "_off")), "_pb")
+        .withColumn("_cb", cb)
+        .select(
+            F.col(id_col),
+            F.col("_nt").alias(tok_col),
+            F.expr(f"_cb div {capacity}").alias("bin_id"),
+            F.pmod(F.col("_cb"), F.lit(capacity)).cast("long").alias("bin_offset"),
+            (F.pmod(F.col("_cb"), F.lit(capacity)) + F.col("_nt") > capacity).alias(
+                "spans_next"
+            ),
+        )
+    )
+
+
+# LCG increment for the sampler's id scramble (SPACED_MULT/SPACED_MOD
+# are the shared multiplicative-scramble constants from similarity.py —
+# the plain polynomial string hash ranks short numeric ids
+# monotonically, the pitfall recorded in SCALE.md)
+SAMPLE_INC = 12345
+
+
+def temperature_sample(
+    df: DataFrame, lang_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-based language rebalancing (multilingual-corpus
+    downsampling a la XLM-R/mC4): keep each document with probability
+    ``(N_min / N_lang) ** (1 - alpha)`` so surviving counts scale as
+    ``N_lang ** alpha``, with the smallest language kept whole.
+
+    Deterministic and engine-portable: the per-doc uniform draw is an
+    LCG scramble of the id (``u = ((id % 2^32) * mult + inc) % 2^32 /
+    2^32``), and alpha is fixed at 0.5 so the keep predicate is the
+    pow-free ``u*u < N_min/N_lang`` — one IEEE double multiply + one
+    int/int division, bit-identical across Spark and the oracle
+    (arbitrary alpha would need ``pow``, whose last-bit behavior is
+    engine-specific).
+
+    Scale: one tiny groupBy (#langs rows) broadcast back; the keep
+    decision is map-side row-local. Zero corpus-sized shuffles."""
+    from pyspark.sql.window import Window
+
+    from .similarity import SPACED_MOD, SPACED_MULT
+
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_nl"))
+    counts = counts.withColumn(
+        "_nmin", F.min("_nl").over(Window.partitionBy())
+    )  # global window over the <=#langs-row counts frame only
+    rate = F.col("_nmin").cast("double") / F.col("_nl").cast("double")
+    u = (
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(SPACED_MOD)) * F.lit(SPACED_MULT)
+            + F.lit(SAMPLE_INC),
+            F.lit(SPACED_MOD),
+        ).cast("double")
+        / F.lit(float(SPACED_MOD))
+    )
+    return df.join(F.broadcast(counts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        rate.alias("sample_rate"),
+        ((u * u) < rate).alias("keep"),
+    )

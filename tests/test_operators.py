@@ -573,3 +573,51 @@ def test_connected_components_cliques_and_empty(spark):
     assert all(got[x] == 10 for x in range(11, 14))
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(empty).count() == 0
+
+
+def test_pack_sequences_plan_shape_and_values(spark):
+    """Packing's global prefix sum must stay two-phase: the only
+    partition-less running-sum window operates on the per-bucket totals
+    frame (_bt, <=n_buckets rows); the corpus-sized window is
+    partitioned by the id-range bucket (_pb). Values: bins are exactly
+    the concat-and-chunk spec."""
+    from cassandra_data_migrator_spark.entry_queries import q_pack_sequences
+
+    df = q_pack_sequences(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    win_specs = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "unboundedpreceding" in ln
+    ]
+    assert win_specs, plan
+    corpus_wins = [ln for ln in win_specs if "_bt" not in ln]
+    assert corpus_wins and all("_pb" in ln for ln in corpus_wins), plan
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.bin_id == cum // 512 and r.bin_offset == cum % 512, r
+        assert r.spans_next == (cum % 512 + r.n_tokens > 512), r
+        cum += r.n_tokens
+
+
+def test_temperature_sample_rates_and_scramble(spark):
+    """alpha=0.5 semantics: smallest language kept whole (rate 1.0),
+    dominant language kept at ~sqrt(N_min/N_l); the LCG scramble must
+    not be monotone in id (the polynomial-hash pitfall), so kept ids
+    spread across the id range rather than forming a prefix."""
+    from cassandra_data_migrator_spark.operators.text import temperature_sample
+
+    rows = [(i, "en") for i in range(800)] + [(800 + i, "fi") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert all(r.keep for r in by_lang["fi"])  # rate exactly 1.0
+    en = by_lang["en"]
+    want = (50 / 800) ** 0.5
+    kept = [r.doc_id for r in en if r.keep]
+    assert abs(len(kept) / 800 - want) < 0.08
+    assert min(kept) < 200 and max(kept) > 600  # spread, not a prefix

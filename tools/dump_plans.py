@@ -288,6 +288,31 @@ def main() -> int:
         trim(fmt(spark, asf, "simple"), 18),
     ))
 
+    pk = QUERIES["pack_sequences"](spark, SF)
+    sections.append((
+        "pack_sequences — two-phase global prefix sum for bin packing",
+        "Concat-and-chunk training-example packing needs the EXCLUSIVE "
+        "global prefix sum of token counts in id order — the oracle "
+        "states it as one ORDER BY doc_id window, which would funnel "
+        "the whole corpus through a single task. The plan instead "
+        "quantizes ids into range buckets: the only partition-less "
+        "window runs over the per-bucket totals frame (<= n_buckets "
+        "rows); the corpus-sized window is partitioned by the bucket "
+        "(_pb) and bucket offsets come back via BroadcastExchange. Bin "
+        "id / offset / spill are then row-local integer math.",
+        trim(fmt(spark, pk, "simple"), 20),
+    ))
+
+    ls = QUERIES["lang_sample"](spark, SF)
+    sections.append((
+        "lang_sample — temperature rebalancing, zero corpus shuffles",
+        "alpha=0.5 language rebalancing: per-language counts are one "
+        "partial-aggregated exchange over #langs rows, broadcast back; "
+        "the keep decision (LCG id scramble, u*u < N_min/N_lang) is "
+        "map-side row-local. The corpus itself is never shuffled.",
+        trim(fmt(spark, ls, "simple"), 16),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
