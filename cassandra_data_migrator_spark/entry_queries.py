@@ -157,6 +157,77 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
 """
 
 
+_GC_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gc_grace_seconds semantics over the LWW fold: delete winners
+    older than the grace cutoff are purged; newer delete winners stay
+    visible as tombstones so late writes against those keys still lose
+    the LWW race (Cassandra resolves this server-side — the reference
+    inherits it; a lake sink must filter explicitly). Row-local filter
+    on the folded frame: adds nothing to the fold's shuffle."""
+    from .operators.lww import tombstone_gc
+
+    ev = events_as_changelog(spark, sf_dir)
+    win = lww_dedup(ev, "url", "warc_ts", "seq")
+    return tombstone_gc(win, "op", "warc_ts", _GC_CUTOFF).select(
+        "url", "seq", "op", "is_tombstone", "event_type", "value"
+    )
+
+
+SQL_TOMBSTONE_GC = f"""
+SELECT url, seq, op, op = 'D' AS is_tombstone, event_type, value FROM (
+  SELECT * FROM ({CHANGELOG_SQL})
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+) WHERE NOT (op = 'D' AND warc_ts < TIMESTAMP '{_GC_CUTOFF}')
+"""
+
+
+# arrival-order model for the lateness probe: event time is monotone in
+# seq in the synthetic WAL, so a straggler shard is simulated by every
+# 37th event slipping into the NEXT ingest epoch
+_LATE_EPOCH_EXPR = "seq div 2000 + CASE WHEN seq % 37 = 0 THEN 1 ELSE 0 END"
+
+
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch out-of-orderness report — the measurement that sizes
+    streaming watermark delays and the stateful feed's eviction
+    horizon. Two-phase high-water mark: per-epoch max event-time (one
+    partial-aggregated shuffle to #epochs rows), exclusive running max
+    over that tiny frame, broadcast back; lateness is exact integer
+    microseconds."""
+    from .operators.watermark import late_arrival_stats
+
+    ev = events_as_changelog(spark, sf_dir).withColumn(
+        "epoch", F.expr(_LATE_EPOCH_EXPR).cast("long")
+    )
+    return late_arrival_stats(ev, "epoch", "warc_ts")
+
+
+SQL_LATE_EVENTS = f"""
+WITH ev AS (
+  SELECT *, CAST(seq // 2000 + CASE WHEN seq % 37 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS epoch
+  FROM ({CHANGELOG_SQL})
+),
+em AS (SELECT epoch, MAX(warc_ts) AS emax FROM ev GROUP BY epoch),
+h AS (
+  SELECT epoch, MAX(emax) OVER (
+    ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS hwm FROM em
+)
+SELECT ev.epoch,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(CASE WHEN ev.warc_ts < h.hwm THEN 1 END) AS BIGINT) AS n_late,
+  CAST(MAX(CASE WHEN ev.warc_ts < h.hwm
+           THEN epoch_us(h.hwm) - epoch_us(ev.warc_ts) END) AS BIGINT)
+    AS max_late_us
+FROM ev JOIN h USING (epoch)
+GROUP BY ev.epoch
+"""
+
+
 # ===================================================================== diff/validate
 def q_diff_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 MISSING case as a left-anti join: customers with no events."""
@@ -1930,6 +2001,111 @@ JOIN c USING (lang) CROSS JOIN m
 """
 
 
+_BIGRAM_TOPK = 50
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE/WordPiece merge-iteration counting step: corpus-wide
+    adjacent-token pair frequencies, global top-k. Map-side zip_with
+    pair fanout, one partial-aggregated shuffle, TakeOrderedAndProject
+    top-k (never a full sort)."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.bigram_counts(docs, "text", top_k=_BIGRAM_TOPK)
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT unnest(l[1:len(l) - 1]) AS tok_a, unnest(l[2:len(l)]) AS tok_b
+  FROM toks
+),
+c AS (
+  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY tok_a, tok_b
+)
+SELECT * FROM c ORDER BY n_pairs DESC, tok_a, tok_b LIMIT {_BIGRAM_TOPK}
+"""
+
+
+_QUANT_BIN_W = 16
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles (p50/p90/p99) via the
+    fixed-width-histogram shape — the oracle states the spec as exact
+    bin selection over a cumulative histogram; the Spark plan's only
+    windows run over the (lang x bin) histogram frame, never the
+    corpus (a per-language exact-sort quantile would serialize the
+    dominant language through one task, the webtext_budget pitfall)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = textops.token_count(docs, "text")
+    return textops.token_quantile_bins(
+        toks, "lang", "n_tokens", bin_width=_QUANT_BIN_W
+    )
+
+
+SQL_TOKEN_QUANTILES = f"""
+WITH toks AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+hist AS (
+  SELECT lang, n_tokens // {_QUANT_BIN_W} AS b, COUNT(*) AS n
+  FROM toks GROUP BY lang, b
+),
+c AS (
+  SELECT lang, b,
+    SUM(n) OVER (PARTITION BY lang ORDER BY b) AS cum,
+    SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+)
+SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_docs,
+  CAST(MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN b END)
+       * {_QUANT_BIN_W} + {_QUANT_BIN_W - 1} AS BIGINT) AS p50_hi,
+  CAST(MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN b END)
+       * {_QUANT_BIN_W} + {_QUANT_BIN_W - 1} AS BIGINT) AS p90_hi,
+  CAST(MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN b END)
+       * {_QUANT_BIN_W} + {_QUANT_BIN_W - 1} AS BIGINT) AS p99_hi
+FROM c GROUP BY lang
+"""
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table (per-dimension
+    min/max affine map). The oracle recomputes the dimension stats in
+    SQL; the Spark side pulls the bounded dims-row stats frame to the
+    driver and quantizes map-side against literal arrays — bit-
+    identical because every step is a single IEEE double op on
+    losslessly-promoted float32 values."""
+    embx = t(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(embx, "vec_id", "embedding")
+
+
+SQL_EMBED_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+d AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY i),
+s AS (
+  SELECT i, CAST(mn AS DOUBLE) AS mnd,
+    CASE WHEN mx > mn
+         THEN 127.0 / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+         ELSE 0.0 END AS sc
+  FROM d
+)
+SELECT e.vec_id,
+  list(CAST(FLOOR((CAST(e.v AS DOUBLE) - s.mnd) * s.sc + 0.5) AS INT)
+       ORDER BY e.i) AS q
+FROM e JOIN s USING (i)
+GROUP BY e.vec_id
+"""
+
+
 _PIPE_MIN_QUALITY = 0.5
 
 
@@ -2447,6 +2623,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_canonical": q_dedup_canonical,
     "pack_sequences": q_pack_sequences,
     "lang_sample": q_lang_sample,
+    "bigram_counts": q_bigram_counts,
+    "token_quantiles": q_token_quantiles,
+    "embed_quantize": q_embed_quantize,
+    "tombstone_gc": q_tombstone_gc,
+    "late_events": q_late_events,
     "pii_scrub": q_pii_scrub,
     "repetition_rules": q_repetition_rules,
     "host_quota": q_host_quota,
@@ -2585,6 +2766,11 @@ ORACLES: dict[str, str] = {
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "lang_sample": SQL_LANG_SAMPLE,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
+    "token_quantiles": SQL_TOKEN_QUANTILES,
+    "embed_quantize": SQL_EMBED_QUANTIZE,
+    "tombstone_gc": SQL_TOMBSTONE_GC,
+    "late_events": SQL_LATE_EVENTS,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_rules": SQL_REPETITION_RULES,
     "host_quota": SQL_HOST_QUOTA,

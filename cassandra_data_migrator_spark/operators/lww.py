@@ -94,3 +94,27 @@ def lww_dedup_skinny(
     )
     # the join moves the on-columns first; restore the input column order
     return df.join(winners, on=[key_col, seq_col], how="left_semi").select(*df.columns)
+
+
+def tombstone_gc(
+    winners: DataFrame,
+    op_col: str = "op",
+    ts_col: str = "warc_ts",
+    gc_grace_cutoff: str = "2024-03-01 00:00:00",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Grace-period tombstone retention over an LWW-folded frame —
+    Cassandra's gc_grace_seconds semantics re-expressed as a snapshot
+    filter (the reference inherits this from the server; a lake sink
+    must do it explicitly). Delete winners OLDER than the cutoff are
+    purged outright; newer delete winners stay visible as tombstones
+    (``is_tombstone = true``) so late-arriving writes against those
+    keys still lose the LWW race instead of resurrecting the row.
+
+    Map-side row-local filter — adds nothing to the fold's shuffle.
+    """
+    cutoff = F.lit(gc_grace_cutoff).cast("timestamp")
+    is_del = F.col(op_col) == delete_op
+    return winners.where(~(is_del & (F.col(ts_col) < cutoff))).withColumn(
+        "is_tombstone", is_del
+    )

@@ -436,3 +436,49 @@ def cosine_near_pairs_fast(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(score, schema)
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the storage/bandwidth-compression step an ANN index at corpus scale
+    runs before sharding (4 bytes/dim -> 1).
+
+    Two passes, both scale-safe: (1) per-dimension min/max — the
+    posexplode is dims× row fanout but partial aggregation collapses
+    each partition to <= dims rows before the single tiny shuffle; the
+    driver pull is a bounded dims-row collect (same precedent as the
+    k-means centroid pulls). (2) map-side `transform` against the
+    broadcast-as-literal min/scale arrays: zero corpus shuffles.
+
+    Determinism across engines: float32 min/max are exact values whose
+    promotion to double is lossless; `scale = n_levels / (mx - mn)` and
+    the per-element `floor((v - mn) * scale + 0.5)` are single IEEE
+    double ops, bit-identical in Spark, DuckDB, and driver-side Python.
+    Constant dimensions (mx == mn) quantize to 0 via scale = 0.
+    """
+    stats = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.min("_v").alias("mn"), F.max("_v").alias("mx"))
+        .collect()
+    )
+    by_dim = {r["_d"]: (float(r["mn"]), float(r["mx"])) for r in stats}
+    mns, scales = [], []
+    for d in range(len(by_dim)):
+        mn, mx = by_dim[d]
+        mns.append(mn)
+        scales.append(float(n_levels) / (mx - mn) if mx > mn else 0.0)
+    mn_arr = F.array(*[F.lit(x) for x in mns])
+    sc_arr = F.array(*[F.lit(x) for x in scales])
+    q = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.floor(
+            (v.cast("double") - F.get(mn_arr, i)) * F.get(sc_arr, i) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return emb.select(F.col(id_col), q.alias("q"))

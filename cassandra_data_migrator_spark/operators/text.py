@@ -389,3 +389,81 @@ def temperature_sample(
         rate.alias("sample_rate"),
         ((u * u) < rate).alias("keep"),
     )
+
+
+def bigram_counts(
+    df: DataFrame, col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent-token pair statistics — the counting step
+    of a BPE/WordPiece merge iteration (vocabulary building over a
+    training corpus).
+
+    Shape at scale: the pair explosion is map-side (`zip_with` of the
+    token array against its own tail — no self-join), the count is one
+    shuffle with map-side partial aggregation over distinct pairs, and
+    the global top-k plans as TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows — never a full sort). Deterministic
+    tie-break (count DESC, tok_a, tok_b) so the k-boundary is stable
+    across engines.
+    """
+    pairs = (
+        df.select(tokens_expr(col).alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            F.expr(
+                "explode(zip_with(slice(_t, 1, size(_t) - 1),"
+                " slice(_t, 2, size(_t) - 1),"
+                " (a, b) -> struct(a AS tok_a, b AS tok_b))) AS p"
+            )
+        )
+        .select("p.tok_a", "p.tok_b")
+    )
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "tok_a", "tok_b")
+        .limit(top_k)
+    )
+
+
+def token_quantile_bins(
+    df: DataFrame,
+    group_col: str = "lang",
+    tok_col: str = "n_tokens",
+    bin_width: int = 16,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group token-length quantiles via a fixed-width histogram —
+    the scale-safe quantile shape. A naive per-group exact quantile
+    sorts every row of the group through one task (the same
+    serializing window `budget_cutoff` two-phases); this instead
+    reduces the corpus to a (group × bin) histogram in one
+    partial-aggregated shuffle, then runs the cumulative walk on the
+    tiny histogram frame (<= n_bins rows per group). Reported value is
+    the inclusive upper edge of the bin holding the percentile;
+    integer math throughout, so bit-identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    binned = df.select(
+        F.col(group_col),
+        F.expr(f"CAST({tok_col} AS BIGINT) div {bin_width}").alias("_bin"),
+    )
+    hist = binned.groupBy(group_col, "_bin").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # over the histogram frame only: <= n_bins rows per group
+    wall = Window.partitionBy(group_col)
+    h = hist.withColumn("_cum", F.sum("_n").over(wcum)).withColumn(
+        "_tot", F.sum("_n").over(wall)
+    )
+    aggs = [F.max("_tot").cast("long").alias("n_docs")]
+    for p in percentiles:
+        k = F.expr(f"(_tot * {p} + 99) div 100")  # ceil(p% of total), integer
+        sel = F.min(F.when(F.col("_cum") >= k, F.col("_bin")))
+        aggs.append(
+            (sel * bin_width + (bin_width - 1)).cast("long").alias(f"p{p}_hi")
+        )
+    return h.groupBy(group_col).agg(*aggs)

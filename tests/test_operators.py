@@ -621,3 +621,113 @@ def test_temperature_sample_rates_and_scramble(spark):
     kept = [r.doc_id for r in en if r.keep]
     assert abs(len(kept) / 800 - want) < 0.08
     assert min(kept) < 200 and max(kept) > 600  # spread, not a prefix
+
+
+def test_bigram_counts_topk_plan_and_values(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heap),
+    never a global Sort; values are exact adjacent-pair counts."""
+    from cassandra_data_migrator_spark.operators.text import bigram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = bigram_counts(df, "text", top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    got = {(r.tok_a, r.tok_b): r.n_pairs for r in out.collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_token_quantile_bins_matches_exact_and_stays_histogram_shaped(spark):
+    """Bin upper edges must bracket the exact percentile values; every
+    Window in the plan sits ABOVE the histogram aggregation (the
+    corpus is reduced to (group x bin) counts before any window)."""
+    from cassandra_data_migrator_spark.operators.text import token_quantile_bins
+
+    rows = [(i, "en", i % 97 + 1) for i in range(500)] + [
+        (1000 + i, "fi", 5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_quantile_bins(df, "lang", "n_tokens", bin_width=16)
+    got = {r.lang: r for r in out.collect()}
+    assert got["fi"].n_docs == 20 and got["fi"].p50_hi == 15
+    import math
+
+    vals = sorted(i % 97 + 1 for i in range(500))
+    for p in (50, 90, 99):
+        exact = vals[math.ceil(p * 500 / 100) - 1]
+        hi = got["en"][f"p{p}_hi"]
+        assert hi - 15 <= exact <= hi, (p, exact, hi)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_window = plan.find("Window")
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    # tree prints top-down: the histogram aggregate must appear BELOW
+    # (after, in text order) the windows that consume it
+    assert first_window != -1 and any(i > first_window for i in agg_positions), plan
+
+
+def test_scalar_quantize_roundtrip_bound_and_constant_dim(spark):
+    from cassandra_data_migrator_spark.operators.similarity import scalar_quantize
+
+    rows = [
+        (0, [0.0, 1.0, -3.5]),
+        (1, [10.0, 1.0, 2.5]),
+        (2, [5.0, 1.0, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.q for r in scalar_quantize(df).collect()}
+    # constant dim (all 1.0) -> 0 everywhere
+    assert [got[i][1] for i in range(3)] == [0, 0, 0]
+    # affine roundtrip within half a quantization step
+    spans = [(0.0, 10.0), (1.0, 1.0), (-3.5, 2.5)]
+    for vid, vec in rows:
+        for d, v in enumerate(vec):
+            mn, mx = spans[d]
+            if mx == mn:
+                continue
+            deq = mn + got[vid][d] * (mx - mn) / 127.0
+            assert abs(deq - v) <= (mx - mn) / 127.0 / 2 + 1e-9
+    assert all(0 <= q <= 127 for qs in got.values() for q in qs)
+
+
+def test_tombstone_gc_purges_old_deletes_keeps_recent(spark):
+    from cassandra_data_migrator_spark.operators.lww import lww_dedup, tombstone_gc
+
+    rows = [
+        # key, ts, seq, op — winner per key is the last (ts, seq)
+        ("a", "2024-01-10 00:00:00", 1, "D"),   # old delete -> purged
+        ("b", "2024-01-20 00:00:00", 2, "D"),   # recent delete -> tombstone
+        ("c", "2024-01-05 00:00:00", 3, "U"),   # old upsert -> kept, not tombstone
+        ("a", "2024-01-09 00:00:00", 0, "U"),   # loses LWW to the delete
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, seq long, op string")
+    df = df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    win = lww_dedup(df, "url", "warc_ts", "seq")
+    out = {r.url: r for r in tombstone_gc(win, "op", "warc_ts", "2024-01-16 00:00:00").collect()}
+    assert "a" not in out                       # purged outright
+    assert out["b"].is_tombstone is True        # retained as tombstone
+    assert out["c"].is_tombstone is False
+
+
+def test_late_arrival_stats_two_phase_hwm(spark):
+    from cassandra_data_migrator_spark.operators.watermark import late_arrival_stats
+
+    # epoch 0: ts 100,200 ; epoch 1: ts 150 (late by 50s), 300 ; epoch 2: all fresh
+    def ts(s):
+        return f"2024-01-01 00:00:{s:02d}" if s < 60 else f"2024-01-01 00:0{s//60}:{s%60:02d}"
+
+    rows = [
+        (0, ts(10)), (0, ts(20)),
+        (1, ts(15)), (1, ts(30)),   # ts(15) < hwm(20) -> late by 5s
+        (2, ts(40)), (2, ts(50)),
+    ]
+    df = spark.createDataFrame(rows, "epoch long, warc_ts string").withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    got = {r.epoch: r for r in late_arrival_stats(df).collect()}
+    assert got[0].n_late == 0 and got[0].max_late_us is None
+    assert got[1].n_late == 1 and got[1].max_late_us == 5_000_000
+    assert got[2].n_late == 0
+    assert all(got[e].n_events == 2 for e in (0, 1, 2))

@@ -313,6 +313,29 @@ def main() -> int:
         trim(fmt(spark, ls, "simple"), 16),
     ))
 
+    tq = QUERIES["token_quantiles"](spark, SF)
+    sections.append((
+        "token_quantiles — histogram quantiles, no per-group sort",
+        "Per-language p50/p90/p99 without sorting any language's "
+        "documents through one task: the corpus is reduced to a "
+        "(lang x bin) histogram in one partial-aggregated exchange; "
+        "every Window in the plan runs over that tiny frame (<= "
+        "n_bins rows per language), and the percentile pick is "
+        "integer bin selection.",
+        trim(fmt(spark, tq, "simple"), 16),
+    ))
+
+    bg = QUERIES["bigram_counts"](spark, SF)
+    sections.append((
+        "bigram_counts — BPE pair counting, heap top-k",
+        "Adjacent-pair fanout is map-side zip_with (no self-join); "
+        "the count shuffles once with map-side partial aggregation "
+        "over distinct pairs; the global top-50 plans as "
+        "TakeOrderedAndProject (per-partition heap + driver merge of "
+        "k rows), never a full sort of the pair table.",
+        trim(fmt(spark, bg, "simple"), 14),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
