@@ -145,6 +145,12 @@ def headline_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "webtext_budget": lambda: QUERIES["webtext_budget"](spark, SF_DIR),
         "webtext_full_prep": lambda: QUERIES["webtext_full_prep"](spark, SF_DIR),
         "asof_state": lambda: QUERIES["asof_state"](spark, SF_DIR),
+        "pack_sequences": lambda: QUERIES["pack_sequences"](spark, SF_DIR),
+        "token_quantiles": lambda: QUERIES["token_quantiles"](spark, SF_DIR),
+        "bigram_counts": lambda: QUERIES["bigram_counts"](spark, SF_DIR),
+        "embed_quantize": lambda: QUERIES["embed_quantize"](spark, SF_DIR),
+        "tombstone_gc": lambda: QUERIES["tombstone_gc"](spark, SF_DIR),
+        "late_events": lambda: QUERIES["late_events"](spark, SF_DIR),
     }
     # best-of-3, INTERLEAVED rounds (round-robin over all queries three
     # times, min per query): the sandbox's ±40% timing noise drifts on
