@@ -1702,6 +1702,79 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped ANN index maintenance: an arriving embedding epoch
+    (vec_id % 10 == 7 models the delta) is assigned to the EXISTING
+    index's centroids map-side — the index is never re-paired, so the
+    per-epoch cost is O(batch x n_centroids) regardless of index size.
+    Output is the per-cell occupancy drift (n_index, n_new, share_new)
+    — the signal an index-maintenance job watches to decide when
+    accumulated drift justifies re-training the quantizer."""
+    emb = t(spark, sf_dir, "embeddings")
+    index = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    cent = similarity.spaced_init_rows(
+        index, _IVF_CENTROIDS, "vec_id", "embedding"
+    ).select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cemb"))
+    n_idx = (
+        similarity.ivf_assign(index, cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    n_new = (
+        similarity.ivf_assign(batch, cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    joined = n_idx.join(n_new, "cell", "full_outer")
+    ni = F.coalesce(F.col("_ni"), F.lit(0)).cast("long")
+    nn = F.coalesce(F.col("_nn"), F.lit(0)).cast("long")
+    return joined.select(
+        F.col("cell"),
+        ni.alias("n_index"),
+        nn.alias("n_new"),
+        (nn.cast("double") / (ni + nn).cast("double")).alias("share_new"),
+    )
+
+
+SQL_ANN_IVF_INCREMENTAL = f"""
+WITH idx AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+), newb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
+), cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM idx
+  ORDER BY ((vec_id % {similarity.SPACED_MOD}) * {similarity.SPACED_MULT})
+             % {similarity.SPACED_MOD}, vec_id
+  LIMIT {_IVF_CENTROIDS}
+), ai AS (
+  SELECT e.vec_id, cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos_sql('e.embedding', 'cemb')} DESC, cid ASC
+    ) AS rn
+  FROM idx e CROSS JOIN cent
+), an AS (
+  SELECT e.vec_id, cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_cos_sql('e.embedding', 'cemb')} DESC, cid ASC
+    ) AS rn
+  FROM newb e CROSS JOIN cent
+), ci AS (
+  SELECT cid, COUNT(*) AS n_index FROM ai WHERE rn = 1 GROUP BY cid
+), cn AS (
+  SELECT cid, COUNT(*) AS n_new FROM an WHERE rn = 1 GROUP BY cid
+)
+SELECT COALESCE(ci.cid, cn.cid) AS cell,
+  CAST(COALESCE(n_index, 0) AS BIGINT) AS n_index,
+  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+  CAST(COALESCE(n_new, 0) AS DOUBLE)
+    / CAST(COALESCE(n_index, 0) + COALESCE(n_new, 0) AS DOUBLE) AS share_new
+FROM ci FULL OUTER JOIN cn ON ci.cid = cn.cid
+"""
+
+
 # ===================================================================== text analysis
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -2628,6 +2701,7 @@ QUERIES: dict[str, QueryFn] = {
     "embed_quantize": q_embed_quantize,
     "tombstone_gc": q_tombstone_gc,
     "late_events": q_late_events,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "pii_scrub": q_pii_scrub,
     "repetition_rules": q_repetition_rules,
     "host_quota": q_host_quota,
@@ -2771,6 +2845,7 @@ ORACLES: dict[str, str] = {
     "embed_quantize": SQL_EMBED_QUANTIZE,
     "tombstone_gc": SQL_TOMBSTONE_GC,
     "late_events": SQL_LATE_EVENTS,
+    "ann_ivf_incremental": SQL_ANN_IVF_INCREMENTAL,
     "pii_scrub": SQL_PII_SCRUB,
     "repetition_rules": SQL_REPETITION_RULES,
     "host_quota": SQL_HOST_QUOTA,

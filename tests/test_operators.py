@@ -731,3 +731,19 @@ def test_late_arrival_stats_two_phase_hwm(spark):
     assert got[1].n_late == 1 and got[1].max_late_us == 5_000_000
     assert got[2].n_late == 0
     assert all(got[e].n_events == 2 for e in (0, 1, 2))
+
+
+def test_ann_ivf_incremental_partitions_both_sets(spark):
+    """Every index and batch row lands in exactly one cell; the batch
+    assignment joins against BROADCAST centroids (index never
+    re-paired)."""
+    from cassandra_data_migrator_spark.entry_queries import q_ann_ivf_incremental
+
+    out = q_ann_ivf_incremental(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_index = sum(r.n_index for r in rows)
+    n_new = sum(r.n_new for r in rows)
+    assert n_index == 450 and n_new == 50  # vec_id % 10 == 7 split of 500
+    assert all(0.0 <= r.share_new <= 1.0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
