@@ -336,6 +336,18 @@ def main() -> int:
         trim(fmt(spark, bg, "simple"), 14),
     ))
 
+    iv = QUERIES["ann_ivf_incremental"](spark, SF)
+    sections.append((
+        "ann_ivf_incremental — CDC-shaped index maintenance",
+        "An arriving embedding epoch is assigned to the EXISTING "
+        "index's centroids via a broadcast cross join + map-side "
+        "argmax — the index is never re-paired against the batch, so "
+        "per-epoch cost is O(batch x n_centroids) regardless of index "
+        "size; the per-cell occupancy drift (the retrain trigger) "
+        "joins two <= n_centroids-row count frames.",
+        trim(fmt(spark, iv, "simple"), 18),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
