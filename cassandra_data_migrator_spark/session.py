@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("CDM_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP_MICROS (not legacy INT96) so parquet footers carry
+        # min/max statistics for timestamp columns — the lake manifest's
+        # file-skipping stats (sources/lake.py) read them at commit time
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

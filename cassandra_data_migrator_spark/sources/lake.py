@@ -43,6 +43,7 @@ import os
 import shutil
 import uuid
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +53,25 @@ BUCKET_COL = "_bucket"
 GLOBAL_DELTA = "__global__"
 MANIFEST_DIR = "_manifests"
 CURRENT_FILE = "CURRENT"
+
+
+def _norm_stat(v):
+    """JSON-serializable, totally-ordered form of a footer statistic.
+
+    Timestamps (parquet stores UTC instants; pyarrow hands back naive
+    datetimes) normalize to epoch microseconds so manifest JSON stays
+    engine-neutral; ints/floats/strings pass through. Unknown types
+    normalize to None, which disables pruning for that file — never
+    wrong, just unpruned."""
+    if v is None:
+        return None
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
 
 
 def bucket_expr(key_col: str, num_buckets: int):
@@ -72,6 +92,9 @@ class Manifest:
     deltas: dict[str, list[str]] = field(default_factory=dict)  # bucket -> MoR delta files
     applied: list[str] = field(default_factory=list)            # idempotent commit keys
     props: dict = field(default_factory=dict)
+    # file -> {"rows", "min_ts", "max_ts"} footer stats (Iceberg manifest
+    # column-bounds analog); absent for files written before stats landed
+    stats: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -153,6 +176,10 @@ class LakeTable:
         wedging window (complete-but-unswapped orphan) shrinks to the
         instant between the link and the CURRENT swap.
         """
+        referenced = {
+            f for store in (mf.base, mf.deltas) for fs in store.values() for f in fs
+        }
+        mf.stats = {f: s for f, s in mf.stats.items() if f in referenced}
         cur = os.path.join(self._mdir, CURRENT_FILE)
         if os.path.exists(cur):
             with open(cur) as f:
@@ -231,6 +258,70 @@ class LakeTable:
         for k in keys:
             out.extend(os.path.join(self.path, p) for p in store.get(k, []))
         return out
+
+    def _collect_stats(
+        self, files_by_bucket: dict[str, list[str]], mf: Manifest
+    ) -> dict[str, dict]:
+        """Per-file footer statistics: row count + ts_col min/max.
+
+        Read from the parquet metadata on the driver — no Spark job, no
+        data scan, O(files just written) — the way Iceberg manifests
+        carry column bounds at commit time. Powers metadata-only row
+        counts (:meth:`row_count_bound`) and ts-range file skipping
+        (:meth:`scan_changes`). A file whose footer lacks min/max for
+        the ts column (e.g. legacy INT96 timestamps) gets ``None``
+        bounds and is simply never skipped."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for files in files_by_bucket.values():
+            for rel in files:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                entry = {"rows": md.num_rows, "min_ts": None, "max_ts": None}
+                names = [
+                    md.schema.column(i).path for i in range(md.num_columns)
+                ]
+                idx = names.index(mf.ts_col) if mf.ts_col in names else None
+                if idx is not None and md.num_rows > 0:
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins = []
+                            break
+                        mins.append(_norm_stat(st.min))
+                        maxs.append(_norm_stat(st.max))
+                    if mins and None not in mins and None not in maxs:
+                        entry["min_ts"] = min(mins)
+                        entry["max_ts"] = max(maxs)
+                out[rel] = entry
+        return out
+
+    def _prune_by_ts(
+        self, mf: Manifest, files: list[str], ts_lower, ts_upper
+    ) -> tuple[list[str], int]:
+        """Drop files whose footer ts range lies wholly outside
+        [ts_lower, ts_upper]. Files without stats are always kept, so
+        pruning is safe across manifests that predate stats collection.
+        Returns (kept files, skipped count)."""
+        lo, hi = _norm_stat(ts_lower), _norm_stat(ts_upper)
+        if (lo is None and hi is None) or not mf.stats:
+            return files, 0
+        kept: list[str] = []
+        skipped = 0
+        for p in files:
+            st = mf.stats.get(os.path.relpath(p, self.path))
+            if st and st.get("min_ts") is not None:
+                try:
+                    if (hi is not None and st["min_ts"] > hi) or (
+                        lo is not None and st["max_ts"] < lo
+                    ):
+                        skipped += 1
+                        continue
+                except TypeError:
+                    pass  # bound type mismatches stored stat: keep the file
+            kept.append(p)
+        return kept, skipped
 
     def _read_files(self, mf: Manifest, files: list[str]) -> DataFrame:
         schema = mf.schema()
@@ -365,6 +456,7 @@ class LakeTable:
             existing.unionByName(batch, allowMissingColumns=True), mf
         )
         new_files = self._write_data(merged, mf)
+        mf.stats.update(self._collect_stats(new_files, mf))
         mf.version = parent + 1
         for b in affected:
             mf.base[str(b)] = new_files.get(str(b), [])
@@ -436,6 +528,7 @@ class LakeTable:
             .select(mf.key_col, *counter_cols, "_w.*")
         )
         new_files = self._write_data(self._align(merged, schema), mf)
+        mf.stats.update(self._collect_stats(new_files, mf))
         mf.version = parent + 1
         for b in affected:
             mf.base[str(b)] = new_files.get(str(b), [])
@@ -460,7 +553,11 @@ class LakeTable:
         mf = self._evolve_schema(mf, batch.schema)
         aligned = self._align(batch, mf.schema())
         files = self._write_data(aligned, mf, bucketed=False)
-        return {"files": files, "schema_json": json.dumps(batch.schema.jsonValue())}
+        return {
+            "files": files,
+            "schema_json": json.dumps(batch.schema.jsonValue()),
+            "stats": self._collect_stats(files, mf),
+        }
 
     def commit_staged_delta(
         self, staged: dict, commit_keys: list[str] | str
@@ -476,6 +573,7 @@ class LakeTable:
         mf.version = parent + 1
         for b, files in staged["files"].items():
             mf.deltas.setdefault(b, []).extend(files)
+        mf.stats.update(staged.get("stats", {}))
         mf.applied.extend(k for k in keys if k not in mf.applied)
         self._swap(mf, expected_parent=parent)
         return CommitResult(True, mf.version, buckets_rewritten=0)
@@ -530,6 +628,7 @@ class LakeTable:
                 ttl_alive_predicate(mf.ts_col, ttl_col, expire_as_of)
             )
         new_files = self._write_data(resolved, mf)
+        mf.stats.update(self._collect_stats(new_files, mf))
         mf.version = parent + 1
         rewritten = sorted(set(with_deltas) | {int(b) for b in new_files})
         for b in rewritten:
@@ -640,6 +739,57 @@ class LakeTable:
 
             df = df.where(ttl_alive_predicate(mf.ts_col, ttl_col, as_of))
         return df
+
+    def scan_changes(
+        self,
+        ts_lower=None,
+        ts_upper=None,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = True,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Raw (unresolved) scan of the snapshot's committed row
+        versions with ``ts_col`` bounded to [ts_lower, ts_upper] — the
+        incremental-consumer read (Iceberg incremental-scan analog; the
+        pull-based counterpart of the streaming ``feed`` job). A file
+        whose footer ts range lies wholly outside the window is never
+        opened (:meth:`_prune_by_ts`), so a "changes since yesterday"
+        scan over a 10^10-row table touches only the recent delta files,
+        not the compacted base.
+
+        Unresolved by design: LWW resolution needs every version of a
+        key, so a resolved read could not skip files — and a change
+        consumer wants every committed version in the window anyway.
+        Tombstones are included by default (a delete IS a change)."""
+        mf = self.manifest(version)
+        files = self._files(mf, buckets, "base") + self._files(mf, buckets, "deltas")
+        kept, _ = self._prune_by_ts(mf, files, ts_lower, ts_upper)
+        df = self._read_files(mf, kept)
+        if ts_lower is not None:
+            df = df.where(F.col(mf.ts_col) >= F.lit(ts_lower))
+        if ts_upper is not None:
+            df = df.where(F.col(mf.ts_col) <= F.lit(ts_upper))
+        if not include_tombstones and mf.op_col in df.columns:
+            df = df.where(~F.col(mf.op_col).eqNullSafe(F.lit("D")))
+        return df
+
+    def row_count_bound(self, version: int | None = None) -> int | None:
+        """Sum of footer row counts across the snapshot's files — a
+        metadata-only upper bound on live rows (exact when the table is
+        fully compacted and tombstone-free), answered from the manifest
+        without launching a Spark job (Iceberg ``snapshot.summary``
+        analog). ``None`` if any referenced file predates stats
+        collection."""
+        mf = self.manifest(version)
+        total = 0
+        for store in (mf.base, mf.deltas):
+            for fs in store.values():
+                for rel in fs:
+                    st = mf.stats.get(rel)
+                    if st is None:
+                        return None
+                    total += st["rows"]
+        return total
 
     def lookup(self, keys: list, as_of=None) -> DataFrame:
         """Point lookup by primary key (``OriginSelectByPKStatement.java:
