@@ -135,6 +135,45 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_REPLAY_FINAL_STATE = SQL_CDC_FOLD_UPSERT
 
 
+_CHANGED_SINCE_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_lake_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-consumer read (r5 manifest file stats): replay the
+    WAL into a MoR lake (ingest compacts on completion), then
+    ``scan_changes(ts_lower=cutoff)`` — the raw committed-versions
+    window scan whose file pruning comes from the manifest's parquet
+    footer stats (``sources/lake.py``; Iceberg incremental-scan
+    analog). On a compacted lake the committed versions ARE the LWW
+    winners, tombstones included (a delete is a change), so the window
+    equals the winners with ``warc_ts >= cutoff``."""
+    import datetime as dt
+    import tempfile
+
+    ev = events_as_changelog(spark, sf_dir).withColumn(
+        "partition", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    ).withColumn("batch_epoch", F.floor(F.col("seq") / F.lit(2000)).cast("long"))
+    workdir = tempfile.mkdtemp(prefix="cdm_chsince_")
+    cfg = EngineConfig.from_dict(
+        dict(lake_path=f"{workdir}/lake", lineage_path="", num_partitions=8, num_buckets=16)
+    )
+    from .jobs import ingest
+    from .sources.lake import LakeTable
+
+    ingest(spark, cfg, changelog_df=ev, mode="mor")
+    cutoff = dt.datetime.fromisoformat(_CHANGED_SINCE_CUTOFF)
+    out = LakeTable(spark, cfg.lake_path).scan_changes(ts_lower=cutoff)
+    return out.select("url", "seq", "op", "event_type", "value")
+
+
+SQL_LAKE_CHANGED_SINCE = f"""
+SELECT url, seq, op, event_type, value FROM (
+  SELECT * FROM ({CHANGELOG_SQL})
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+) WHERE warc_ts >= TIMESTAMP '{_CHANGED_SINCE_CUTOFF}'
+"""
+
+
 _LOOKUP_KEYS = tuple(f"https://example.com/u/{i}" for i in (3, 7, 11))
 
 
@@ -2692,6 +2731,7 @@ FROM documents
 # every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
+    "lake_changed_since": q_lake_changed_since,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "pack_sequences": q_pack_sequences,
@@ -2779,6 +2819,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "lake_changed_since": SQL_LAKE_CHANGED_SINCE,
     "cdc_lww_latest": SQL_CDC_LWW_LATEST,
     "cdc_fold_upsert": SQL_CDC_FOLD_UPSERT,
     "cdc_op_mix": SQL_CDC_OP_MIX,
