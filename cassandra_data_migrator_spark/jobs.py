@@ -445,7 +445,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdm-spark")
     p.add_argument(
         "job", choices=["ingest", "validate", "guardrail", "generate", "dedup",
-                        "feed", "compact", "vacuum"]
+                        "feed", "compact", "vacuum", "changes"]
     )
     p.add_argument("--config", help="JSON config file", default=None)
     p.add_argument("--properties", default=None,
@@ -492,6 +492,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="feed: event-time state TTL for cold-key eviction")
     p.add_argument("--retain-last", dest="retain_last", type=int, default=1,
                    help="vacuum: keep this many newest snapshot versions")
+    p.add_argument("--since", dest="since_ts", default=None,
+                   help="changes: inclusive ts lower bound (ISO timestamp "
+                        "or integer, matching the table's ts column type)")
+    p.add_argument("--until", dest="until_ts", default=None,
+                   help="changes: inclusive ts upper bound")
+    p.add_argument("--out", dest="out_dir", default=None,
+                   help="changes: also write the window to this parquet dir")
     args = p.parse_args(argv)
 
     d = {}
@@ -564,7 +571,35 @@ def main(argv: list[str] | None = None) -> int:
         n = lake.vacuum(retain_last=args.retain_last)
         print(f"Final Vacuumed File Count: {n}")
         print(f"Final Retained Version Count: {len(lake.versions())}")
+    elif args.job == "changes":
+        # pull-based incremental consumer: committed row versions in a
+        # ts window, file-skipped via manifest footer stats (the batch
+        # counterpart of the streaming `feed` job)
+        lake = LakeTable(spark, cfg.lake_path)
+        df = lake.scan_changes(
+            ts_lower=_parse_ts_bound(args.since_ts),
+            ts_upper=_parse_ts_bound(args.until_ts),
+        )
+        if args.out_dir:
+            df.write.mode("overwrite").parquet(args.out_dir)
+            df = spark.read.parquet(args.out_dir)
+        print(f"Final Changed Record Count: {df.count()}")
+        bound = lake.row_count_bound()
+        if bound is not None:
+            print(f"Final Snapshot Row Bound: {bound}")
     return 0
+
+
+def _parse_ts_bound(s: str | None):
+    """CLI ts bound: integer epoch/sequence value or ISO timestamp."""
+    if s is None or s == "":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        from datetime import datetime
+
+        return datetime.fromisoformat(s)
 
 
 if __name__ == "__main__":

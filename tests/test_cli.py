@@ -329,3 +329,39 @@ def test_cli_compact_and_vacuum(spark, workdir, capsys):
     assert vac > 0
     assert lake.read().count() == before
     assert jobs.main(["validate"] + common) == 0
+
+
+def test_cli_changes_window(spark, workdir, tmp_path, capsys):
+    """Operational surface: `changes --since/--until` reads the
+    committed change window via manifest-stats file skipping and
+    reports the metadata row bound; `--out` materializes the window."""
+    from cassandra_data_migrator_spark.sources.lake import LakeTable
+
+    assert jobs.main(["ingest", "--changelog", workdir["wal"],
+                      "--lake", workdir["lake"]]) == 0
+    capsys.readouterr()
+    lake = LakeTable(spark, workdir["lake"])
+    mf = lake.manifest()
+    raw = lake.scan_changes()
+    total = raw.count()
+    cut = raw.selectExpr(f"percentile(cast({mf.ts_col} as double), 0.5) p") \
+             .collect()[0]["p"]
+    import datetime as dt
+
+    cut_dt = dt.datetime.fromtimestamp(cut, dt.timezone.utc).replace(tzinfo=None)
+    want = raw.where(F.col(mf.ts_col) >= F.lit(cut_dt)).count()
+    assert 0 < want < total
+    out_dir = str(tmp_path / "window")
+    assert jobs.main(["changes", "--lake", workdir["lake"],
+                      "--since", cut_dt.isoformat(), "--out", out_dir]) == 0
+    out = capsys.readouterr().out
+    assert f"Final Changed Record Count: {want}" in out
+    assert "Final Snapshot Row Bound:" in out
+    assert spark.read.parquet(out_dir).count() == want
+    # both-sided window nests inside the one-sided one
+    assert jobs.main(["changes", "--lake", workdir["lake"],
+                      "--since", cut_dt.isoformat(),
+                      "--until", cut_dt.isoformat()]) == 0
+    narrow = int(capsys.readouterr().out
+                 .split("Final Changed Record Count: ")[1].split("\n")[0])
+    assert narrow <= want
