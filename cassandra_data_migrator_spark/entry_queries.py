@@ -2721,6 +2721,198 @@ FROM documents
 """
 
 
+# ===================================================================== corpus assembly (r5 batch 2)
+_SPAN_W = 8
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level exact dedup: per-doc retention stats after
+    awarding every distinct 8-word span to its first corpus-wide
+    occurrence. Map-side span fanout, one hash-partitioned
+    ownership window, one per-doc rollup — never all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.span_dedup(
+        docs, "text", "doc_id", span_words=_SPAN_W, hash_mode="portable"
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), sp AS (
+  SELECT doc_id, i AS span_pos,
+    array_to_string(list_slice(w, i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}), ' ') AS span
+  FROM (
+    SELECT doc_id, w,
+      unnest(generate_series(0, (len(w) + {_SPAN_W - 1}) // {_SPAN_W} - 1)) AS i
+    FROM w)
+), h AS (
+  SELECT doc_id, span_pos, {portable_hash_sql('span')} AS h FROM sp
+), o AS (
+  SELECT doc_id,
+    (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, span_pos) = 1) AS keep
+  FROM h
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM o GROUP BY doc_id
+"""
+
+
+_CHUNK_TOKS = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window / retrieval
+    prep): 32-token chunks every 24 tokens, last chunk reaching the doc
+    end. Pure map-side fanout, zero shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.doc_chunks(
+        docs, "text", "doc_id",
+        chunk_tokens=_CHUNK_TOKS, stride=_CHUNK_STRIDE,
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), c AS (
+  SELECT doc_id, w, len(w) AS n,
+    unnest(generate_series(0,
+      CASE WHEN len(w) > {_CHUNK_TOKS}
+        THEN (len(w) - {_CHUNK_TOKS} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}
+        ELSE 0 END)) AS i
+  FROM w
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+  CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+  CAST(least({_CHUNK_TOKS}, n - i * {_CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                             i * {_CHUNK_STRIDE} + {_CHUNK_TOKS}), ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by LCG id
+    scramble — map-side, zero shuffles, stable under corpus growth."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.train_split(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
+SQL_TRAIN_SPLIT = f"""
+SELECT doc_id, lang,
+  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST(((doc_id % {similarity.SPACED_MOD}) * {similarity.SPACED_MULT}
+          + {textops.SPLIT_INC}) % {similarity.SPACED_MOD} AS DOUBLE)
+      / {float(similarity.SPACED_MOD)} AS u
+  FROM documents)
+"""
+
+
+_N_SHARDS = 64
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 64 training shards with
+    within-shard order — one shuffle+sort over fine-grained shard
+    partitions (shard count scales with corpus / file size)."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.shuffle_shards(
+        docs.select("doc_id"), "doc_id", n_shards=_N_SHARDS
+    ).select("doc_id", "shard", "shard_pos")
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH k AS (
+  SELECT doc_id,
+    ((doc_id % {similarity.SPACED_MOD}) * {similarity.SPACED_MULT}
+     + {textops.SHARD_INC}) % {similarity.SPACED_MOD} AS k
+  FROM documents
+)
+SELECT doc_id, CAST(k % {_N_SHARDS} AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY k % {_N_SHARDS} ORDER BY k, doc_id)
+       AS BIGINT) AS shard_pos
+FROM k
+"""
+
+
+def q_host_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level spam screen: per-source exact-duplicate fraction by
+    content hash; sources with >=5 docs and >50% dups flagged. Two
+    partial-aggregated fine-grained shuffles, exact distinct via the
+    two-level group-by."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.host_dup_screen(
+        docs, "text", "source", min_docs=5, max_dup_frac=0.5,
+        hash_mode="portable",
+    )
+
+
+SQL_HOST_SPAM = f"""
+WITH g AS (
+  SELECT source, {portable_hash_sql('text')} AS h, COUNT(*) AS n
+  FROM documents GROUP BY source, h
+), p AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_uniq
+  FROM g GROUP BY source
+)
+SELECT source, n_docs, n_uniq,
+  CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+  (n_docs >= 5 AND
+   CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5) AS is_spam
+FROM p
+"""
+
+
+_DIFF_T1 = "2024-01-11 00:00:00"
+_DIFF_T2 = "2024-01-21 00:00:00"
+
+
+def q_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two points in time over the changelog:
+    per-key ADDED/REMOVED/CHANGED/UNCHANGED between the t1 and t2 LWW
+    states — ONE shuffle via conditional max(struct) double-winner
+    aggregation (never two window passes + self-join)."""
+    from .operators.asof import state_diff
+
+    ev = events_as_changelog(spark, sf_dir)
+    return state_diff(ev, "url", "warc_ts", "seq", _DIFF_T1, _DIFF_T2)
+
+
+SQL_STATE_DIFF = f"""
+WITH ev AS ({CHANGELOG_SQL}),
+s1 AS (
+  SELECT url, seq, op FROM ev WHERE warc_ts <= TIMESTAMP '{_DIFF_T1}'
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+),
+s2 AS (
+  SELECT url, seq, op FROM ev WHERE warc_ts <= TIMESTAMP '{_DIFF_T2}'
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+),
+p1 AS (SELECT url, seq FROM s1 WHERE op <> 'D'),
+p2 AS (SELECT url, seq FROM s2 WHERE op <> 'D')
+SELECT COALESCE(p1.url, p2.url) AS url,
+  CASE WHEN p1.url IS NULL THEN 'ADDED'
+       WHEN p2.url IS NULL THEN 'REMOVED'
+       WHEN p1.seq <> p2.seq THEN 'CHANGED'
+       ELSE 'UNCHANGED' END AS status,
+  p1.seq AS seq_old, p2.seq AS seq_new
+FROM p1 FULL OUTER JOIN p2 ON p1.url = p2.url
+"""
+
+
 # ===================================================================== registry
 # ORDER IS ATTESTATION CURATION: the correctness driver records at most
 # the FIRST 50 entries, and the registry holds more. Iteration order is
@@ -2731,6 +2923,12 @@ FROM documents
 # every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
+    "span_dedup": q_span_dedup,
+    "doc_chunks": q_doc_chunks,
+    "train_split": q_train_split,
+    "shuffle_shards": q_shuffle_shards,
+    "host_spam": q_host_spam,
+    "state_diff": q_state_diff,
     "lake_changed_since": q_lake_changed_since,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
@@ -2819,6 +3017,12 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "span_dedup": SQL_SPAN_DEDUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "train_split": SQL_TRAIN_SPLIT,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "host_spam": SQL_HOST_SPAM,
+    "state_diff": SQL_STATE_DIFF,
     "lake_changed_since": SQL_LAKE_CHANGED_SINCE,
     "cdc_lww_latest": SQL_CDC_LWW_LATEST,
     "cdc_fold_upsert": SQL_CDC_FOLD_UPSERT,

@@ -467,3 +467,229 @@ def token_quantile_bins(
             (sel * bin_width + (bin_width - 1)).cast("long").alias(f"p{p}_hi")
         )
     return h.groupBy(group_col).agg(*aggs)
+
+
+def span_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """C4-style span-level exact dedup: cut each document into
+    non-overlapping ``span_words``-token spans, hash every span, and
+    award each distinct span to its FIRST occurrence corpus-wide
+    (lowest ``(id, position)``). Reports per-document span retention —
+    the statistic C4's three-sentence dedup pass keeps while rewriting
+    documents.
+
+    Shape at scale: the span fanout is map-side (sequence + slice HOF,
+    no self-join); ownership is ONE shuffle+sort partitioned by the
+    span hash — ~n_tokens/span_words fine-grained naturally-balanced
+    keys, never an all-pairs comparison; the per-doc rollup is a second
+    partial-aggregated shuffle. 10^10 docs => ~10^12 span rows of a few
+    bytes each, far below the pair-explosion a join-based dedup risks.
+    """
+    from pyspark.sql.window import Window
+
+    hash_fn = fast_hash if hash_mode == "fast" else portable_hash_expr
+    toks = df.select(F.col(id_col), tokens_expr(col).alias("_w")).where(
+        F.size("_w") > 0
+    )
+    n_sp = F.expr(f"(size(_w) + {span_words - 1}) div {span_words}")
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_sp - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * span_words + 1, F.lit(span_words)),
+                    " ",
+                ),
+            )
+        ).alias("span_pos", "_span"),
+    ).withColumn("_h", hash_fn("_span"))
+    w_first = Window.partitionBy("_h").orderBy(id_col, "span_pos")
+    owned = spans.withColumn(
+        "_keep", F.row_number().over(w_first) == 1
+    )
+    return owned.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+    ).select(
+        F.col(id_col),
+        "n_spans",
+        "n_kept",
+        (F.col("n_spans") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        (
+            (F.col("n_spans") - F.col("n_kept")).cast("double")
+            / F.col("n_spans").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window packing /
+    retrieval-index prep): document -> (chunk_id, token offset, chunk
+    text) rows of at most ``chunk_tokens`` tokens, successive chunks
+    ``stride`` tokens apart (``chunk_tokens - stride`` overlap).
+
+    Chunk count is ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` so
+    the last chunk always reaches the end of the document and a doc
+    shorter than one window yields exactly one chunk. Pure map-side
+    fanout — sequence + slice HOFs inside whole-stage codegen, zero
+    shuffles, embarrassingly parallel at any scale.
+    """
+    toks = df.select(F.col(id_col), tokens_expr(col).alias("_w")).where(
+        F.size("_w") > 0
+    )
+    n_chunks = F.expr(
+        f"1 + (CASE WHEN size(_w) > {chunk_tokens}"
+        f" THEN (size(_w) - {chunk_tokens} + {stride - 1}) div {stride}"
+        f" ELSE 0 END)"
+    )
+    return toks.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * stride + 1, F.lit(chunk_tokens)),
+                    " ",
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+        F.least(
+            F.lit(chunk_tokens).cast("long"),
+            F.col("n_tokens") - F.col("chunk_id") * stride,
+        ).cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+# LCG increments for the deterministic split / shuffle draws (same
+# multiplicative scramble as the sampler; distinct increments give
+# independent streams)
+SPLIT_INC = 24680
+SHARD_INC = 98765
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_cut: float = 0.9,
+    val_cut: float = 0.95,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id scramble: the
+    per-doc uniform draw is the LCG scramble of the id (hash-stratified
+    across any grouping in expectation), thresholded at ``train_cut`` /
+    ``val_cut``. Both cuts are ABSOLUTE thresholds (not a train + val
+    sum — a Python-side ``0.9 + 0.05`` is 0.9500000000000001, not the
+    0.95 an oracle SQL literal parses to). Fully map-side — zero
+    shuffles, reproducible across runs, engines and cluster sizes
+    (no ``rand()``), and stable under corpus growth: a doc's split
+    never changes when neighbors are added or removed.
+    """
+    from .similarity import SPACED_MOD, SPACED_MULT
+
+    u = (
+        F.pmod(
+            F.pmod(F.col(id_col), F.lit(SPACED_MOD)) * F.lit(SPACED_MULT)
+            + F.lit(SPLIT_INC),
+            F.lit(SPACED_MOD),
+        ).cast("double")
+        / F.lit(float(SPACED_MOD))
+    )
+    return df.withColumn("_u", u).withColumn(
+        "split",
+        F.when(F.col("_u") < F.lit(train_cut), F.lit("train"))
+        .when(F.col("_u") < F.lit(val_cut), F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).drop("_u")
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 64
+) -> DataFrame:
+    """Deterministic global shuffle for training-order assembly: scramble
+    the id, route to ``shard = scramble % n_shards``, order within the
+    shard by the scramble — the distributed equivalent of "shuffle the
+    corpus and write N files", reproducible with no ``rand()``.
+
+    One shuffle+sort partitioned by shard. Scale rule: size n_shards to
+    the target training-file row count (10^10 docs / 10^5-doc files =>
+    10^5 shards), so each window partition is one output file's worth —
+    fine-grained and naturally balanced because the scramble
+    equidistributes ids.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import SPACED_MOD, SPACED_MULT
+
+    key = F.pmod(
+        F.pmod(F.col(id_col), F.lit(SPACED_MOD)) * F.lit(SPACED_MULT)
+        + F.lit(SHARD_INC),
+        F.lit(SPACED_MOD),
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        df.withColumn("_k", key)
+        .withColumn("shard", F.pmod(F.col("_k"), F.lit(n_shards)).cast("long"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_k")
+    )
+
+
+def host_dup_screen(
+    df: DataFrame,
+    col: str = "text",
+    host_col: str = "source",
+    min_docs: int = 5,
+    max_dup_frac: float = 0.5,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Host-level spam screen (CCNet/RefinedWeb-style source filtering):
+    per host, the exact-duplicate fraction of its documents (by content
+    hash); hosts with ``>= min_docs`` docs and a duplicate fraction
+    above ``max_dup_frac`` are flagged — mirror-heavy and
+    template-spam domains that per-document dedup alone underweights.
+
+    Two partial-aggregated shuffles, both fine-grained: (host, hash)
+    then host. Distinct-count is exact via the two-level group-by (an
+    approx_count_distinct would break oracle parity); at 10^10 docs the
+    (host, hash) frame is at most corpus-sized and combines map-side.
+    """
+    hash_fn = fast_hash if hash_mode == "fast" else portable_hash_expr
+    per_text = (
+        df.select(F.col(host_col), hash_fn(F.col(col)).alias("_h"))
+        .groupBy(host_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_host = per_text.groupBy(host_col).agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq"),
+    )
+    dup_frac = (
+        (F.col("n_docs") - F.col("n_uniq")).cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return per_host.select(
+        F.col(host_col),
+        "n_docs",
+        "n_uniq",
+        dup_frac.alias("dup_frac"),
+        (
+            (F.col("n_docs") >= min_docs) & (dup_frac > F.lit(max_dup_frac))
+        ).alias("is_spam"),
+    )

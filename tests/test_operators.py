@@ -747,3 +747,171 @@ def test_ann_ivf_incremental_partitions_both_sets(spark):
     assert all(0.0 <= r.share_new <= 1.0 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_span_dedup_first_occurrence_ownership(spark):
+    """Every distinct span is awarded to the lowest (doc_id, pos)
+    occurrence; later docs repeating it count it dropped. A doc
+    shorter than one span still forms exactly one span."""
+    from cassandra_data_migrator_spark.operators.text import span_dedup
+
+    s8 = "a b c d e f g h"          # one full span
+    uniq = "p q r s t u v w"        # unique full span
+    rows = [
+        (0, s8 + " " + uniq),       # owns both of its spans
+        (1, s8 + " x y"),           # span1 dup of doc 0, span2 ("x y") unique
+        (2, "x y"),                 # "x y" already owned by doc 1 pos 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup(df, "text", "doc_id", span_words=8).collect()}
+    assert out[0].n_spans == 2 and out[0].n_kept == 2 and out[0].n_dropped == 0
+    assert out[1].n_spans == 2 and out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].n_spans == 1 and out[2].n_kept == 0 and out[2].n_dropped == 1
+    assert out[1].dup_frac == 0.5 and out[2].dup_frac == 1.0
+
+
+def test_doc_chunks_boundary_math_and_mapside_plan(spark):
+    """Chunk count = 1 + ceil(max(n - chunk, 0) / stride); the last
+    chunk always reaches the document end; successive chunks overlap by
+    chunk - stride tokens. Plan stays shuffle-free (pure map-side)."""
+    from cassandra_data_migrator_spark.operators.text import doc_chunks
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(10, words(10)), (32, words(32)), (33, words(33)),
+            (56, words(56)), (57, words(57))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = doc_chunks(df, "text", "doc_id", chunk_tokens=32, stride=24)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    expect_counts = {10: 1, 32: 1, 33: 2, 56: 2, 57: 3}
+    for n, cnt in expect_counts.items():
+        chunks = sorted(got[n], key=lambda r: r.chunk_id)
+        assert len(chunks) == cnt, (n, chunks)
+        last = chunks[-1]
+        # last chunk reaches the end of the doc
+        assert last.chunk_start + last.n_chunk_tokens == n, (n, last)
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * 24
+            toks = c.chunk_text.split(" ")
+            assert len(toks) == c.n_chunk_tokens
+            assert toks[0] == f"w{c.chunk_start}"
+    # overlap: chunk k repeats the trailing 8 tokens of chunk k-1
+    c0, c1 = sorted(got[56], key=lambda r: r.chunk_id)
+    assert c0.chunk_text.split(" ")[24:] == c1.chunk_text.split(" ")[:8]
+
+
+def test_train_split_deterministic_stratified_mapside(spark):
+    """Split assignment is map-side (no Exchange), deterministic, and
+    lands near 90/5/5 on the test corpus."""
+    from cassandra_data_migrator_spark.operators.text import train_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = train_split(docs.select("doc_id"), "doc_id")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in out.collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    frac_val = sum(1 for v in a.values() if v == "val") / n
+    frac_test = sum(1 for v in a.values() if v == "test") / n
+    assert 0.85 <= frac_train <= 0.95, frac_train
+    assert 0.02 <= frac_val <= 0.09, frac_val
+    assert 0.02 <= frac_test <= 0.09, frac_test
+
+
+def test_shuffle_shards_dense_order_and_balance(spark):
+    """Within-shard positions are dense 1..count, shard ids live in
+    [0, n_shards), and the scramble spreads 500 sequential ids over
+    every shard without a degenerate pile-up."""
+    from collections import Counter
+
+    from cassandra_data_migrator_spark.operators.text import shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=16).collect()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 16
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert len(by_shard) == 16  # 500 ids hit every one of 16 shards
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = Counter({s: len(p) for s, p in by_shard.items()})
+    assert max(sizes.values()) <= 4 * max(1, min(sizes.values()))
+
+
+def test_host_dup_screen_flags_dup_heavy_host(spark):
+    """A host needs BOTH >= min_docs and dup_frac > threshold to be
+    flagged; small hosts full of dups stay unflagged."""
+    from cassandra_data_migrator_spark.operators.text import host_dup_screen
+
+    rows = (
+        [(i, "same text", "spam.example") for i in range(6)]
+        + [(10 + i, f"unique {i}", "fresh.example") for i in range(6)]
+        + [(20, "dup", "tiny.example"), (21, "dup", "tiny.example")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in host_dup_screen(
+        df, "text", "source", min_docs=5, max_dup_frac=0.5
+    ).collect()}
+    assert out["spam.example"].is_spam and out["spam.example"].n_uniq == 1
+    assert out["spam.example"].dup_frac == 5 / 6
+    assert not out["fresh.example"].is_spam and out["fresh.example"].dup_frac == 0.0
+    assert not out["tiny.example"].is_spam  # 50% dup but only 2 docs
+
+
+def test_state_diff_four_way_single_shuffle(spark):
+    """ADDED/REMOVED/CHANGED/UNCHANGED between two LWW cutoffs from ONE
+    aggregation (exactly one Exchange in the plan); keys absent at both
+    cutoffs (never present, or delete-winning twice) drop out."""
+    from datetime import datetime
+
+    from cassandra_data_migrator_spark.operators.asof import state_diff
+
+    d = datetime
+    rows = [
+        # unchanged: one early upsert
+        ("u_same", d(2024, 1, 2), 1, "U"),
+        # changed: upsert before t1, newer upsert between t1 and t2
+        ("u_chg", d(2024, 1, 3), 2, "U"),
+        ("u_chg", d(2024, 1, 14), 3, "U"),
+        # added: first upsert after t1
+        ("u_add", d(2024, 1, 15), 4, "U"),
+        # removed: upsert before t1, delete wins by t2
+        ("u_del", d(2024, 1, 4), 5, "U"),
+        ("u_del", d(2024, 1, 16), 6, "D"),
+        # absent both sides: only ever a delete
+        ("u_gone", d(2024, 1, 5), 7, "D"),
+        # absent both sides: first touch after t2
+        ("u_late", d(2024, 1, 25), 8, "U"),
+    ]
+    ev = spark.createDataFrame(rows, ["url", "warc_ts", "seq", "op"])
+    out = state_diff(ev, "url", "warc_ts", "seq",
+                     "2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    assert len(exchanges) == 1, plan
+    # the single shuffle is preceded by a map-side partial winner fold
+    assert "partial_max" in plan, plan
+    got = {r.url: r for r in out.collect()}
+    assert set(got) == {"u_same", "u_chg", "u_add", "u_del"}
+    assert got["u_same"].status == "UNCHANGED" and got["u_same"].seq_old == 1
+    assert got["u_chg"].status == "CHANGED" and (
+        got["u_chg"].seq_old, got["u_chg"].seq_new) == (2, 3)
+    assert got["u_add"].status == "ADDED" and got["u_add"].seq_old is None
+    assert got["u_del"].status == "REMOVED" and got["u_del"].seq_new is None
