@@ -348,6 +348,48 @@ def main() -> int:
         trim(fmt(spark, iv, "simple"), 18),
     ))
 
+    sd = QUERIES["span_dedup"](spark, SF)
+    sections.append((
+        "span_dedup — C4-style span ownership, never all-pairs",
+        "The span fanout (sequence + slice + posexplode) is map-side; "
+        "ownership is ONE shuffle+sort partitioned by the span hash "
+        "(~n_tokens/8 fine-grained naturally-balanced keys); the "
+        "per-doc retention rollup is a second partial-aggregated "
+        "shuffle. No join, no pair materialization anywhere.",
+        trim(fmt(spark, sd, "simple"), 16),
+    ))
+
+    st = QUERIES["state_diff"](spark, SF)
+    sections.append((
+        "state_diff — two-snapshot diff from ONE aggregation",
+        "Both LWW winners (t1 and t2) come from a single conditional "
+        "max(struct) per key — partial_max before the only Exchange, "
+        "so even a hot url contributes one row per input partition. "
+        "Never the naive shape (two window passes + full-outer "
+        "self-join = three shuffles).",
+        trim(fmt(spark, st), 34),
+    ))
+
+    dc = QUERIES["doc_chunks"](spark, SF)
+    sections.append((
+        "doc_chunks / train_split — zero-shuffle corpus fanout",
+        "Overlapping token-window chunking and the deterministic "
+        "train/val/test split are pure map-side HOF expressions: no "
+        "Exchange in either plan, embarrassingly parallel at any "
+        "scale (train_split is the same shape minus the explode).",
+        trim(fmt(spark, dc, "simple"), 10),
+    ))
+
+    ss = QUERIES["shuffle_shards"](spark, SF)
+    sections.append((
+        "shuffle_shards — deterministic global shuffle, fine-grained shards",
+        "The scramble equidistributes ids over n_shards window "
+        "partitions (one shuffle+sort); shard count scales with the "
+        "corpus (one shard = one training file), so no partition ever "
+        "holds more than a file's worth of rows.",
+        trim(fmt(spark, ss, "simple"), 10),
+    ))
+
     out = ["""# PLANS.md — physical plan evidence
 
 Generated by `python tools/dump_plans.py` (Spark local[4], sf0.01).
