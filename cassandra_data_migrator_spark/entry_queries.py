@@ -2913,6 +2913,184 @@ FROM p1 FULL OUTER JOIN p2 ON p1.url = p2.url
 """
 
 
+# ===================================================================== corpus assembly (r5 batch 3)
+_WINNOW_K = 6
+_WINNOW_W = 4
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprint: sorted distinct per-window
+    k-gram hash minima as the doc sketch — map-side HOF folds, zero
+    shuffles; positionally robust unlike the whole-doc hash."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.winnow_fingerprint(
+        docs, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W,
+        hash_mode="portable",
+    )
+
+
+_WINNOW_GRAM_SQL = portable_hash_sql(f"substring(text, p, {_WINNOW_K})")
+
+SQL_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id, length(text) - {_WINNOW_K - 1} AS m,
+    list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
+                   p -> {_WINNOW_GRAM_SQL}) AS hs
+  FROM documents WHERE length(text) >= {_WINNOW_K}
+)
+SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+  list_sort(list_distinct(list_transform(
+    generate_series(1, greatest(m - {_WINNOW_W - 1}, 1)),
+    j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1}))))) AS sketch,
+  CAST(len(list_distinct(list_transform(
+    generate_series(1, greatest(m - {_WINNOW_W - 1}, 1)),
+    j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1}))))) AS BIGINT)
+    AS sketch_size
+FROM g
+"""
+
+
+_NOVEL_MOD = 10
+
+
+def q_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span-dedup novelty screen: arriving docs (every
+    10th) vs the accumulated index — index reduced to distinct span
+    hashes, one fine-grained equi-join, never re-paired."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % _NOVEL_MOD == _NOVEL_MOD - 1)
+    idx = docs.where(F.col("doc_id") % _NOVEL_MOD != _NOVEL_MOD - 1)
+    return textops.span_novelty(
+        new, idx, "text", "doc_id", span_words=_SPAN_W, hash_mode="portable"
+    )
+
+
+SQL_SPAN_NOVELTY = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), sp AS (
+  SELECT doc_id,
+    array_to_string(list_slice(w, i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}), ' ') AS span
+  FROM (
+    SELECT doc_id, w,
+      unnest(generate_series(0, (len(w) + {_SPAN_W - 1}) // {_SPAN_W} - 1)) AS i
+    FROM w)
+), h AS (
+  SELECT doc_id, {portable_hash_sql('span')} AS h FROM sp
+),
+idx AS (SELECT DISTINCT h FROM h WHERE doc_id % {_NOVEL_MOD} <> {_NOVEL_MOD - 1}),
+nw AS (SELECT doc_id, h FROM h WHERE doc_id % {_NOVEL_MOD} = {_NOVEL_MOD - 1})
+SELECT nw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN idx.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(SUM(CASE WHEN idx.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM nw LEFT JOIN idx ON nw.h = idx.h
+GROUP BY nw.doc_id
+"""
+
+
+_VOCAB_K = 100
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter vocab coverage: token-occurrence share of the
+    top-100 tokens — one partial-aggregated count shuffle + heap
+    top-k, single-row output."""
+    docs = t(spark, sf_dir, "documents")
+    return textops.vocab_coverage(docs, "text", top_k=_VOCAB_K)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+), top AS (
+  SELECT n FROM c ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+)
+SELECT CAST({_VOCAB_K} AS BIGINT) AS vocab_size,
+  CAST((SELECT SUM(n) FROM top) AS BIGINT) AS covered_tokens,
+  CAST((SELECT SUM(n) FROM c) AS BIGINT) AS total_tokens,
+  CAST((SELECT SUM(n) FROM top) AS DOUBLE)
+    / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS coverage
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase per user,
+    each stage strictly after the previous): nested unordered windows
+    over one key partition — a single Exchange, never a per-stage
+    join cascade."""
+    from .operators.asof import conversion_funnel
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return conversion_funnel(
+        ev, "user_id", "ts",
+        [("view", "view_ts"), ("click", "click_ts"),
+         ("purchase", "purchase_ts")],
+    )
+
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS view_ts
+  FROM events
+), b AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+    OVER (PARTITION BY user_id) AS click_ts
+  FROM a
+), c AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+    OVER (PARTITION BY user_id) AS purchase_ts
+  FROM b
+)
+SELECT user_id, MAX(view_ts) AS view_ts, MAX(click_ts) AS click_ts,
+  MAX(purchase_ts) AS purchase_ts,
+  CAST(MAX(
+    (CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+  ) AS BIGINT) AS funnel_stage
+FROM c GROUP BY user_id
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary row: integer-only global aggregates (no
+    distributed double sums — order-dependent) incl. exact distinct
+    text count via the content hash."""
+    from .functions.hashes import portable_hash_expr
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.size(textops.tokens_expr("text"))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct(portable_hash_expr("text")).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT {portable_hash_sql('text')}) AS BIGINT)
+    AS n_distinct_texts
+FROM documents
+"""
+
+
 # ===================================================================== registry
 # ORDER IS ATTESTATION CURATION: the correctness driver records at most
 # the FIRST 50 entries, and the registry holds more. Iteration order is
@@ -2923,6 +3101,11 @@ FROM p1 FULL OUTER JOIN p2 ON p1.url = p2.url
 # every entry. Rotate freshly-added queries to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
+    "winnow": q_winnow,
+    "span_novelty": q_span_novelty,
+    "vocab_coverage": q_vocab_coverage,
+    "funnel": q_funnel,
+    "corpus_stats": q_corpus_stats,
     "span_dedup": q_span_dedup,
     "doc_chunks": q_doc_chunks,
     "train_split": q_train_split,
@@ -3017,6 +3200,11 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "winnow": SQL_WINNOW,
+    "span_novelty": SQL_SPAN_NOVELTY,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "funnel": SQL_FUNNEL,
+    "corpus_stats": SQL_CORPUS_STATS,
     "span_dedup": SQL_SPAN_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "train_split": SQL_TRAIN_SPLIT,

@@ -123,3 +123,47 @@ def state_diff(
         F.when(p1, F.col("_w1._seq")).alias("seq_old"),
         F.when(p2, F.col("_w2._seq")).alias("seq_new"),
     )
+
+
+def conversion_funnel(
+    ev: DataFrame,
+    key_col: str,
+    ts_col: str,
+    stages: list[tuple[str, str]],
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per key, the earliest time each stage
+    was reached STRICTLY AFTER the previous stage (stage k's event must
+    have ``ts > stage k-1's chosen ts``), plus the furthest stage
+    index — classic sessionized progression analytics (view ->
+    click -> purchase).
+
+    ``stages`` maps event-type value -> output column name, in funnel
+    order. ONE shuffle total: all stage times are nested unordered
+    windows over the same key partition (Spark reuses the partitioning
+    across the window chain and the final per-key aggregate — a single
+    Exchange in the plan), never a per-stage join cascade.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col)
+    out = ev
+    prev: F.Column | None = None
+    names = []
+    for stage_type, out_name in stages:
+        cond = F.col(type_col) == stage_type
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        out = out.withColumn(out_name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(out_name)
+        names.append(out_name)
+    reached = sum(
+        (F.col(n).isNotNull().cast("int") for n in names), F.lit(0)
+    )
+    return (
+        out.groupBy(key_col)
+        .agg(
+            *[F.max(n).alias(n) for n in names],
+            F.max(reached).cast("long").alias("funnel_stage"),
+        )
+    )

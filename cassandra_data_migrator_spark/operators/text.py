@@ -492,23 +492,7 @@ def span_dedup(
     """
     from pyspark.sql.window import Window
 
-    hash_fn = fast_hash if hash_mode == "fast" else portable_hash_expr
-    toks = df.select(F.col(id_col), tokens_expr(col).alias("_w")).where(
-        F.size("_w") > 0
-    )
-    n_sp = F.expr(f"(size(_w) + {span_words - 1}) div {span_words}")
-    spans = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), (n_sp - 1).cast("int")),
-                lambda i: F.array_join(
-                    F.slice(F.col("_w"), i * span_words + 1, F.lit(span_words)),
-                    " ",
-                ),
-            )
-        ).alias("span_pos", "_span"),
-    ).withColumn("_h", hash_fn("_span"))
+    spans = _span_frame(df, col, id_col, span_words, hash_mode)
     w_first = Window.partitionBy("_h").orderBy(id_col, "span_pos")
     owned = spans.withColumn(
         "_keep", F.row_number().over(w_first) == 1
@@ -692,4 +676,164 @@ def host_dup_screen(
         (
             (F.col("n_docs") >= min_docs) & (dup_frac > F.lit(max_dup_frac))
         ).alias("is_spam"),
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    window: int = 4,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Winnowing document fingerprint (the MOSS local fingerprinting
+    scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every character
+    k-gram, take the minimum hash of each sliding window of ``window``
+    consecutive gram hashes, and keep the sorted distinct minima as the
+    document's sketch. Guarantees any shared substring of length
+    >= k + window - 1 contributes a shared sketch entry — positionally
+    robust, unlike a whole-document hash.
+
+    Pure map-side HOF folds (sequence + substring hash + sliding
+    minima): zero shuffles, embarrassingly parallel. Docs shorter than
+    ``k`` characters are excluded (no full gram exists).
+
+    The per-window minimum is a SPARSE-TABLE DOUBLING chain of
+    ``zip_with(T, shift(T, d), least)`` steps, NOT a
+    ``transform(sequence(...), j -> array_min(slice(grams, j, w)))``
+    lambda: a higher-order-function lambda body re-evaluates its
+    subtrees PER ELEMENT, so referencing the gram array inside the
+    lambda recomputes the whole O(m*k) gram fold for every window —
+    O(m^2*k) per document (measured ~500 s for 500 docs vs ~4 s for
+    this form). The doubling chain references the gram array a
+    constant ~w times per ROW instead: O(w*m*k).
+    """
+    c = F.col(col)
+    gram_hash = (
+        (lambda g: F.abs(F.xxhash64(g)))
+        if hash_mode == "fast"
+        else portable_hash_expr
+    )
+    m = F.length(c) - F.lit(k - 1)  # number of full k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), m.cast("int")),
+        lambda i: gram_hash(F.substring(c, i, F.lit(k))),
+    )
+
+    # sliding min of width `window` via sparse-table doubling:
+    # T_d[j] = min(hashes[j .. j+d)); min[j, j+w) = least(T_d[j],
+    # T_d[j + w - d]) once d >= w/2. zip_with pads the shifted copy
+    # with nulls and F.least skips nulls, which exactly handles the
+    # m < window tail (partial windows collapse to the full-array min,
+    # matching the oracle's truncated list_slice).
+    big = F.lit(1 << 30)
+    t_arr = grams
+    width = 1
+    while width * 2 <= window:
+        t_arr = F.zip_with(
+            t_arr, F.slice(t_arr, width + 1, big), lambda a, b: F.least(a, b)
+        )
+        width *= 2
+    if window > width:
+        t_arr = F.zip_with(
+            t_arr,
+            F.slice(t_arr, (window - width) + 1, big),
+            lambda a, b: F.least(a, b),
+        )
+    n_win = F.greatest(m - F.lit(window - 1), F.lit(1)).cast("int")
+    return df.where(F.length(c) >= k).select(
+        F.col(id_col),
+        m.cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(F.slice(t_arr, 1, n_win))).alias("sketch"),
+    ).withColumn("sketch_size", F.size("sketch").cast("long"))
+
+
+def _span_frame(
+    df: DataFrame, col: str, id_col: str, span_words: int, hash_mode: str
+) -> DataFrame:
+    """(id, span_pos, _h) fanout shared by span_dedup/span_novelty."""
+    hash_fn = fast_hash if hash_mode == "fast" else portable_hash_expr
+    toks = df.select(F.col(id_col), tokens_expr(col).alias("_w")).where(
+        F.size("_w") > 0
+    )
+    n_sp = F.expr(f"(size(_w) + {span_words - 1}) div {span_words}")
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_sp - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * span_words + 1, F.lit(span_words)),
+                    " ",
+                ),
+            )
+        ).alias("span_pos", "_span"),
+    ).withColumn("_h", hash_fn("_span"))
+
+
+def span_novelty(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """CDC-shaped incremental span dedup: for each ARRIVING document,
+    how many of its spans are novel vs the accumulated corpus index —
+    the per-batch novelty screen an incremental C4-style pipeline runs
+    before admitting a crawl snapshot's documents.
+
+    The index side reduces to DISTINCT span hashes (narrow longs);
+    the arriving epoch left-joins the index on the span hash —
+    fine-grained uniformly-hashed keys, epoch x index never paired
+    beyond the equi-join, and the index is never re-scanned per doc.
+    Per-epoch cost is O(epoch spans + matched index spans).
+    """
+    new_spans = _span_frame(new_docs, col, id_col, span_words, hash_mode)
+    idx = (
+        _span_frame(index_docs, col, id_col, span_words, hash_mode)
+        .select("_h").distinct().withColumn("_seen", F.lit(1))
+    )
+    joined = new_spans.join(idx, "_h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_novel"
+        ),
+    ).withColumn(
+        "novelty_frac",
+        F.col("n_novel").cast("double") / F.col("n_spans").cast("double"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Heavy-hitter vocabulary coverage: what fraction of all token
+    occurrences the top-k most frequent tokens cover — the
+    tokenizer-sizing statistic (OOV-rate ceiling for a k-entry vocab).
+
+    Token counts are one partial-aggregated shuffle; the top-k plans as
+    TakeOrderedAndProject (per-partition heap, k-row driver merge, never
+    a full sort); the grand total partial-aggregates to a single row.
+    Deterministic k-boundary via (count DESC, token) tie-break.
+    """
+    counts = (
+        df.select(F.explode(tokens_expr(col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(top_k)
+    covered = top.agg(F.sum("n").cast("long").alias("covered_tokens"))
+    total = counts.agg(F.sum("n").cast("long").alias("total_tokens"))
+    return covered.crossJoin(total).select(
+        F.lit(top_k).cast("long").alias("vocab_size"),
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
     )

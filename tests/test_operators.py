@@ -915,3 +915,123 @@ def test_state_diff_four_way_single_shuffle(spark):
         got["u_chg"].seq_old, got["u_chg"].seq_new) == (2, 3)
     assert got["u_add"].status == "ADDED" and got["u_add"].seq_old is None
     assert got["u_del"].status == "REMOVED" and got["u_del"].seq_new is None
+
+
+def test_winnow_shared_substring_guarantee_and_mapside(spark):
+    """Winnowing's core guarantee: docs sharing a substring of length
+    >= k + window - 1 share at least one sketch entry; a doc shorter
+    than k is excluded; the plan is shuffle-free."""
+    from cassandra_data_migrator_spark.operators.text import winnow_fingerprint
+
+    shared = "the quick brown fox jumps"   # >> k + w - 1 = 9 chars
+    rows = [
+        (0, "AAAA " + shared + " BBBB"),
+        (1, "zzzz prefix then " + shared + " and a different tail"),
+        (2, "unrelated content entirely here"),
+        (3, "tiny"),                       # < k chars: excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_fingerprint(df, "text", "doc_id", k=6, window=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan
+    got = {r.doc_id: r for r in out.collect()}
+    assert 3 not in got
+    s0, s1, s2 = (set(got[i].sketch) for i in range(3))
+    assert s0 & s1, "docs sharing a long substring must share a sketch entry"
+    for r in got.values():
+        assert r.sketch == sorted(set(r.sketch))  # sorted distinct
+        assert r.sketch_size == len(r.sketch)
+
+
+def test_winnow_matches_naive_window_minima(spark):
+    """The zip_with doubling chain must equal the naive per-window
+    array_min spec (the oracle's formulation), including the m < window
+    partial-window tail."""
+    from cassandra_data_migrator_spark.functions.hashes import portable_hash_py
+    from cassandra_data_migrator_spark.operators.text import winnow_fingerprint
+
+    k, w = 6, 4
+    texts = ["abcdef", "abcdefg", "abcdefgh", "abcdefghi",
+             "the quick brown fox jumps over the lazy dog"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r for r in winnow_fingerprint(
+        df, "text", "doc_id", k=k, window=w, hash_mode="portable").collect()}
+    for i, s in enumerate(texts):
+        hs = [portable_hash_py(s[p:p + k]) for p in range(len(s) - k + 1)]
+        n_win = max(len(hs) - w + 1, 1)
+        expect = sorted({min(hs[j:j + w]) for j in range(n_win)})
+        assert got[i].sketch == expect, (s, got[i].sketch, expect)
+        assert got[i].n_grams == len(hs)
+
+
+def test_span_novelty_counts_only_unseen_spans(spark):
+    """Arriving docs count a span novel only if NO index doc contains
+    it; spans shared with the index are not novel."""
+    from cassandra_data_migrator_spark.operators.text import span_novelty
+
+    s1 = "a b c d e f g h"
+    s2 = "p q r s t u v w"
+    idx = spark.createDataFrame([(0, s1)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(9, s1 + " " + s2),   # one indexed span + one novel span
+         (19, s2)],            # novel (only seen in doc 9, not the index)
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_novelty(
+        new, idx, "text", "doc_id", span_words=8).collect()}
+    assert out[9].n_spans == 2 and out[9].n_novel == 1
+    assert out[9].novelty_frac == 0.5
+    assert out[19].n_spans == 1 and out[19].n_novel == 1
+
+
+def test_vocab_coverage_known_counts(spark):
+    """top-k coverage on a corpus with known token frequencies."""
+    from cassandra_data_migrator_spark.operators.text import vocab_coverage
+
+    # 'a' x6, 'b' x3, 'c' x2, 'd' x1 -> total 12; top-2 covers 9
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a a a b c d")], ["doc_id", "text"])
+    r = vocab_coverage(df, "text", top_k=2).collect()[0]
+    assert (r.vocab_size, r.covered_tokens, r.total_tokens) == (2, 9, 12)
+    assert r.coverage == 9 / 12
+
+
+def test_conversion_funnel_order_and_single_shuffle(spark):
+    """Stages count only strictly after the previous stage; the plan
+    has exactly one Exchange (windows + final agg share the key
+    partitioning)."""
+    import re
+    from datetime import datetime
+
+    from cassandra_data_migrator_spark.operators.asof import conversion_funnel
+
+    d = datetime
+    rows = [
+        # full funnel in order
+        (1, d(2024, 1, 1), "view"), (1, d(2024, 1, 2), "click"),
+        (1, d(2024, 1, 3), "purchase"),
+        # purchase BEFORE click: stage 2 only
+        (2, d(2024, 1, 1), "view"), (2, d(2024, 1, 2), "purchase"),
+        (2, d(2024, 1, 3), "click"),
+        # click with no prior view: stage 0
+        (3, d(2024, 1, 1), "click"), (3, d(2024, 1, 2), "purchase"),
+        # view only
+        (4, d(2024, 1, 5), "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = conversion_funnel(
+        ev, "user_id", "ts",
+        [("view", "view_ts"), ("click", "click_ts"),
+         ("purchase", "purchase_ts")],
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1, plan
+    got = {r.user_id: r for r in out.collect()}
+    assert got[1].funnel_stage == 3 and got[1].purchase_ts == d(2024, 1, 3)
+    assert got[2].funnel_stage == 2 and got[2].purchase_ts is None
+    assert got[2].click_ts == d(2024, 1, 3)
+    assert got[3].funnel_stage == 0 and got[3].view_ts is None
+    assert got[4].funnel_stage == 1
