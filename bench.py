@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from cassandra_data_migrator_spark.config import EngineConfig  # noqa: E402
 from cassandra_data_migrator_spark.entry_queries import QUERIES, t  # noqa: E402
 from cassandra_data_migrator_spark.operators import dedup, similarity  # noqa: E402
+from cassandra_data_migrator_spark.operators import text as textops  # noqa: E402
 from cassandra_data_migrator_spark.session import get_spark  # noqa: E402
 from cassandra_data_migrator_spark.sources import changelog as wal  # noqa: E402
 from cassandra_data_migrator_spark.sources.lake import LakeTable  # noqa: E402
@@ -151,6 +152,17 @@ def headline_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         "embed_quantize": lambda: QUERIES["embed_quantize"](spark, SF_DIR),
         "tombstone_gc": lambda: QUERIES["tombstone_gc"](spark, SF_DIR),
         "late_events": lambda: QUERIES["late_events"](spark, SF_DIR),
+        # fast-hash (xxhash64) variants: the 100 TB path; the registry
+        # rows use the portable hash only for oracle parity
+        "span_dedup_fast": lambda: textops.span_dedup(
+            docs, "text", "doc_id", span_words=8, hash_mode="fast"
+        ),
+        "winnow_fast": lambda: textops.winnow_fingerprint(
+            docs, "text", "doc_id", hash_mode="fast"
+        ),
+        "funnel": lambda: QUERIES["funnel"](spark, SF_DIR),
+        "shuffle_shards": lambda: QUERIES["shuffle_shards"](spark, SF_DIR),
+        "state_diff": lambda: QUERIES["state_diff"](spark, SF_DIR),
     }
     # best-of-3, INTERLEAVED rounds (round-robin over all queries three
     # times, min per query): the sandbox's ±40% timing noise drifts on

@@ -3093,12 +3093,13 @@ FROM documents
 
 # ===================================================================== registry
 # ORDER IS ATTESTATION CURATION: the correctness driver records at most
-# the FIRST 50 entries, and the registry holds more. Iteration order is
-# therefore: (1) queries never yet recorded in any round's driver
-# artifact plus this round's additions, (2) the r3-only rows, (3) the
-# core surface, with 13 rows that are already green in
-# CORRECTNESS_r04.json rotated to the tail so the r4 ∪ r5 union attests
-# every entry. Rotate freshly-added queries to the front each round.
+# the FIRST 50 entries, and the registry holds more (89 as of r5).
+# Iteration order is therefore: (1) all 31 queries never yet recorded
+# in any round's driver artifact (the 11 r5-batch-2/3 additions first),
+# (2) the r3-only rows, (3) the core surface, with every row already
+# green in CORRECTNESS_r03/r04.json rotated toward the tail so the
+# r3 ∪ r4 ∪ r5 union attests every entry. Rotate freshly-added queries
+# to the front each round.
 QUERIES: dict[str, QueryFn] = {
     # never driver-attested before r5 + new this round
     "winnow": q_winnow,
